@@ -1,0 +1,109 @@
+"""Table catalog: Iceberg when available, parquet directory otherwise.
+
+At target scale every pipeline stage reads/writes Iceberg tables
+(BASELINE.json input_hint); the sandbox image ships no Iceberg jars, so
+the catalog transparently falls back to a parquet directory layout with
+the same table-name API. The stage-manifest / metrics machinery
+(pipeline.py) sits on top of this and is format-agnostic.
+
+Iceberg is probed once per session via the catalog classes on the
+classpath; to enable it for real, start the session with
+``spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-...`` and
+``spark.sql.catalog.rlr=org.apache.iceberg.spark.SparkCatalog``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg SparkCatalog is importable in the JVM."""
+    try:
+        jvm = spark.sparkContext._jvm  # noqa: SLF001 — capability probe
+        jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+class Catalog:
+    """Named-table IO over a warehouse root.
+
+    ``write(df, name)`` / ``read(name)`` / ``exists(name)`` /
+    ``drop(name)``. Parquet mode stores each table at
+    ``<root>/<name>`` as a parquet directory; Iceberg mode (when jars
+    are present and a spark catalog is configured) uses
+    ``writeTo(f"{catalog}.{namespace}.{name}")``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        iceberg_catalog: str | None = None,
+        namespace: str = "rlr",
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.namespace = namespace
+        self.iceberg_catalog = iceberg_catalog if (
+            iceberg_catalog and iceberg_available(spark)
+        ) else None
+        if self.iceberg_catalog is None:
+            os.makedirs(root, exist_ok=True)
+
+    # -- paths / identifiers -------------------------------------------------
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _ident(self, name: str) -> str:
+        return f"{self.iceberg_catalog}.{self.namespace}.{name}"
+
+    # -- IO -------------------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        if self.iceberg_catalog:
+            writer = df.writeTo(self._ident(name))
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+            if mode == "overwrite":
+                writer.createOrReplace()
+            else:
+                writer.append()
+            return
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def read(self, name: str) -> DataFrame:
+        if self.iceberg_catalog:
+            return self.spark.read.table(self._ident(name))
+        return self.spark.read.parquet(self.path(name))
+
+    def exists(self, name: str) -> bool:
+        if self.iceberg_catalog:
+            return self.spark.catalog.tableExists(self._ident(name))
+        p = self.path(name)
+        return os.path.isdir(p) and (
+            os.path.exists(os.path.join(p, "_SUCCESS")) or any(
+                f.endswith(".parquet") for f in os.listdir(p)
+            )
+        )
+
+    def drop(self, name: str) -> None:
+        if self.iceberg_catalog:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")
+            return
+        shutil.rmtree(self.path(name), ignore_errors=True)

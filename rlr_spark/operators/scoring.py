@@ -1,0 +1,127 @@
+"""Fellegi-Sunter weighted-agreement scoring → match/nonmatch/uncertain.
+
+Pure column arithmetic (SURVEY.md C3): per group g with estimated
+match/unmatch agreement probabilities (m_g, u_g),
+
+    score = Σ_g  agree_g ? log2(m_g/u_g) : log2((1-m_g)/(1-u_g))
+
+then two thresholds cut the score into the reference's label trichotomy
+(default labels backend/rlr.py:26, uncertain example RLR_Home.py:117):
+
+    score ≥ upper  → "Match"
+    score ≤ lower  → "Not a Match"
+    otherwise      → "Maybe a Match"
+
+``agree_g`` is a similarity-threshold bit over any metric column, so the
+same scorer serves the exact-bit-only reference parity path and the
+similarity-vector pipeline path. m/u can be estimated from labeled pairs
+(supervised) — one aggregation, no iteration.
+
+Everything here is JVM-side column math inside whole-stage codegen — at
+10^12 pairs this stage is shuffle-free given the comparison output.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rlr_spark import LABEL_MATCH, LABEL_NONMATCH, LABEL_UNCERTAIN
+
+_EPS = 1e-6
+
+
+@dataclass
+class FSWeights:
+    """Per-group (m, u) probabilities + agreement threshold per metric column."""
+
+    groups: dict[str, tuple[float, float]]  # metric column -> (m, u)
+    agree_threshold: float = 0.8
+    upper: float = 2.0
+    lower: float = 0.0
+    labels: tuple[str, str, str] = field(
+        default=(LABEL_MATCH, LABEL_NONMATCH, LABEL_UNCERTAIN)
+    )
+
+    def agreement_weight(self, col: str) -> float:
+        m, u = self._clamped(col)
+        return math.log2(m / u)
+
+    def disagreement_weight(self, col: str) -> float:
+        m, u = self._clamped(col)
+        return math.log2((1 - m) / (1 - u))
+
+    def _clamped(self, col: str) -> tuple[float, float]:
+        m, u = self.groups[col]
+        return (min(max(m, _EPS), 1 - _EPS), min(max(u, _EPS), 1 - _EPS))
+
+
+def fs_score(df: DataFrame, weights: FSWeights, score_col: str = "fs_score") -> DataFrame:
+    """Add the summed log-weight score over the configured metric columns."""
+    terms: list[Column] = []
+    for col in weights.groups:
+        agree = F.col(col) >= F.lit(weights.agree_threshold)
+        terms.append(
+            F.when(agree, F.lit(weights.agreement_weight(col))).otherwise(
+                F.lit(weights.disagreement_weight(col))
+            )
+        )
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return df.withColumn(score_col, total)
+
+
+def fs_label(
+    df: DataFrame, weights: FSWeights, score_col: str = "fs_score", label_col: str = "rlr_label"
+) -> DataFrame:
+    """Threshold the score into the reference's label trichotomy.
+
+    Also sets ``rlr_label_ind`` the way the reference does — 1 iff a
+    non-empty label was assigned (backend/rlr.py:731-732).
+    """
+    match, nonmatch, uncertain = weights.labels
+    return df.withColumn(
+        label_col,
+        F.when(F.col(score_col) >= weights.upper, F.lit(match))
+        .when(F.col(score_col) <= weights.lower, F.lit(nonmatch))
+        .otherwise(F.lit(uncertain)),
+    ).withColumn("rlr_label_ind", F.when(F.col(label_col) != "", 1).otherwise(0))
+
+
+def score_and_label(df: DataFrame, weights: FSWeights) -> DataFrame:
+    return fs_label(fs_score(df, weights), weights)
+
+
+def estimate_mu(
+    labeled: DataFrame,
+    metric_cols: list[str],
+    label_col: str = "rlr_label",
+    agree_threshold: float = 0.8,
+) -> dict[str, tuple[float, float]]:
+    """Supervised m/u estimation: one aggregation over labeled pairs.
+
+    m_g = P(agree_g | Match), u_g = P(agree_g | Not a Match). Returns the
+    dict an :class:`FSWeights` wants. (EM over unlabeled agreement
+    patterns is a possible extension; supervised estimation matches the
+    reference's workflow, where labels come from human review.)
+    """
+    aggs = [
+        F.avg((F.col(c) >= agree_threshold).cast("double")).alias(c) for c in metric_cols
+    ]
+    rows = (
+        labeled.where(F.col(label_col).isin([LABEL_MATCH, LABEL_NONMATCH]))
+        .groupBy(label_col)
+        .agg(*aggs)
+        .collect()
+    )
+    by_label = {r[label_col]: r for r in rows}
+    out: dict[str, tuple[float, float]] = {}
+    for c in metric_cols:
+        m = float(by_label[LABEL_MATCH][c]) if LABEL_MATCH in by_label else 0.9
+        u = float(by_label[LABEL_NONMATCH][c]) if LABEL_NONMATCH in by_label else 0.1
+        out[c] = (m, u)
+    return out

@@ -1,0 +1,236 @@
+"""Staged, resumable pipeline: extract → block → pairs → score → cluster.
+
+Each stage materializes its output through the :class:`Catalog` (Iceberg
+when available, parquet otherwise) and writes a *stage manifest* — JSON
+with row counts, per-partition row counts, duration, and the config
+fingerprint. A restarted run scans manifests and skips completed stages
+(the scale generalization of the reference's ``curr_comp_pair_index``
+resume, backend/rlr.py:224-228, and autosave, rlr.py:743-744).
+
+The inter-stage IR is a table, not an in-memory object (SURVEY.md §3.4):
+lineage is truncated at every stage boundary, a killed run loses at most
+one stage, and each stage's input is a clean columnar scan with
+pushdown/pruning available to Catalyst.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rlr_spark import LABEL_MATCH
+from rlr_spark.catalog import Catalog
+from rlr_spark.operators.blocking import candidate_pairs
+from rlr_spark.operators.cluster import cluster_pairs
+from rlr_spark.operators.compare import text_pair_similarity
+from rlr_spark.operators.extract import extract_text
+from rlr_spark.operators.review import init_review_columns
+from rlr_spark.operators.scoring import FSWeights, score_and_label
+
+
+@dataclass
+class PipelineConfig:
+    """The pipeline spec — the engine's analogue of the review packet
+    (rlr.py:195-229): declarative config, serializable, drives the run."""
+
+    id_col: str = "url"
+    text_col: str = "text"
+    salt_k: int = 8
+    max_block_size: int | None = 10_000
+    lsh_bands: int = 16
+    lsh_rows: int = 3
+    shingle_k: int = 3
+    # FS parameters over the text similarity (m, u) + thresholds
+    m_text: float = 0.95
+    u_text: float = 0.01
+    agree_threshold: float = 0.8
+    upper: float = 2.0
+    lower: float = 0.0
+    langs: list[str] | None = None  # optional language filter
+
+    def weights(self) -> FSWeights:
+        return FSWeights(
+            groups={"sim_jaccard": (self.m_text, self.u_text)},
+            agree_threshold=self.agree_threshold,
+            upper=self.upper,
+            lower=self.lower,
+        )
+
+    def fingerprint(self) -> str:
+        import hashlib
+
+        return hashlib.md5(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:12]
+
+
+STAGES = ["extract", "pairs", "score", "cluster"]
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        config: PipelineConfig | None = None,
+    ) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.config = config or PipelineConfig()
+        self.manifest_dir = os.path.join(catalog.root, "_manifests")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifests -----------------------------------------------------------
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.manifest_dir, f"{stage}.json")
+
+    def _stage_done(self, stage: str) -> bool:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return False
+        try:
+            with open(p) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            return False
+        return (
+            m.get("status") == "complete"
+            and m.get("config_fingerprint") == self.config.fingerprint()
+            and self.catalog.exists(stage)
+        )
+
+    def _write_stage(self, stage: str, df: DataFrame, t0: float, extra: dict | None = None) -> None:
+        """Materialize + manifest + per-partition metrics (lineage table)."""
+        self.catalog.write(df, stage)
+        out = self.catalog.read(stage)
+        part_counts = (
+            out.withColumn("_pid", F.spark_partition_id())
+            .groupBy("_pid")
+            .agg(F.count("*").alias("rows"))
+        )
+        self.catalog.write(
+            part_counts.withColumn("stage", F.lit(stage)), f"{stage}_metrics"
+        )
+        rows = out.count()
+        manifest = {
+            "stage": stage,
+            "status": "complete",
+            "rows": rows,
+            "duration_sec": round(time.time() - t0, 3),
+            "config_fingerprint": self.config.fingerprint(),
+            "n_partitions": out.rdd.getNumPartitions(),
+            **(extra or {}),
+        }
+        tmp = self._manifest_path(stage) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self._manifest_path(stage))  # atomic: kill-safe
+
+    def read_manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return None
+
+    # -- stages ----------------------------------------------------------------
+    def run(self, pages: DataFrame, force: bool = False) -> dict[str, DataFrame]:
+        """Run all stages, skipping completed ones unless ``force``.
+
+        Returns {stage: DataFrame} reading each stage's materialized output.
+        """
+        cfg = self.config
+        if force:
+            for s in STAGES:
+                p = self._manifest_path(s)
+                if os.path.exists(p):
+                    os.remove(p)
+
+        # extract: recover text from html bytes; drop the fat binary column
+        if not self._stage_done("extract"):
+            t0 = time.time()
+            df = pages
+            if cfg.langs:
+                df = df.where(F.col("lang").isin(cfg.langs))
+            extracted = extract_text(df.drop(cfg.text_col), out_col=cfg.text_col).drop("html")
+            self._write_stage("extract", extracted, t0)
+        extracted = self.catalog.read("extract")
+
+        # pairs: multi-pass blocking, salted, capped, deduped
+        if not self._stage_done("pairs"):
+            t0 = time.time()
+            pairs, stats = candidate_pairs(
+                extracted,
+                id_col=cfg.id_col,
+                text_col=cfg.text_col,
+                salt_k=cfg.salt_k,
+                max_block_size=cfg.max_block_size,
+                lsh_bands=cfg.lsh_bands,
+                lsh_rows=cfg.lsh_rows,
+                shingle_k=cfg.shingle_k,
+            )
+            self._write_stage(
+                "pairs", pairs, t0, extra={"block_stats": [asdict(s) for s in stats]}
+            )
+        pairs = self.catalog.read("pairs")
+
+        # score: similarity vector + FS label, with reference rlr_* columns
+        if not self._stage_done("score"):
+            t0 = time.time()
+            simmed = text_pair_similarity(
+                pairs, extracted, id_col=cfg.id_col, text_col=cfg.text_col
+            )
+            labeled = init_review_columns(
+                score_and_label(simmed, cfg.weights())
+            ).withColumn("rlr_modified", F.current_timestamp())
+            self._write_stage("score", labeled, t0)
+        scored = self.catalog.read("score")
+
+        # cluster: transitive closure of Match pairs over all extracted ids
+        if not self._stage_done("cluster"):
+            t0 = time.time()
+            matches = scored.where(F.col("rlr_label") == LABEL_MATCH).select("l_id", "r_id")
+            clusters = cluster_pairs(
+                matches, extracted.select(cfg.id_col), id_col=cfg.id_col
+            )
+            self._write_stage("cluster", clusters, t0)
+        clusters = self.catalog.read("cluster")
+
+        return {
+            "extract": extracted,
+            "pairs": pairs,
+            "score": scored,
+            "cluster": clusters,
+        }
+
+
+def pairwise_f1(
+    clusters: DataFrame, truth: DataFrame, id_col: str = "url"
+) -> dict[str, float]:
+    """Pairwise precision/recall/F1 of predicted clusters vs planted truth.
+
+    Both sides are expanded to canonical within-cluster pairs; the
+    comparison is two semi/anti joins — no collect.
+    """
+
+    def pair_set(df: DataFrame, key: str) -> DataFrame:
+        a = df.select(F.col(id_col).alias("_a"), F.col(key).alias("_k"))
+        b = df.select(F.col(id_col).alias("_b"), F.col(key).alias("_k"))
+        return (
+            a.join(b, "_k")
+            .where(F.col("_a") < F.col("_b"))
+            .select("_a", "_b")
+        )
+
+    pred = pair_set(clusters, "entity_id")
+    true = pair_set(truth, "entity_id")
+    tp = pred.join(true, ["_a", "_b"], "left_semi").count()
+    fp = pred.join(true, ["_a", "_b"], "left_anti").count()
+    fn = true.join(pred, ["_a", "_b"], "left_anti").count()
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {"precision": precision, "recall": recall, "f1": f1, "tp": tp, "fp": fp, "fn": fn}

@@ -1,0 +1,80 @@
+"""SparkSession construction tuned for the record-linkage pipeline.
+
+Local mode in the sandbox; the same config block is what we'd ship in
+``spark-submit --conf`` form on a real cluster. AQE is on (runtime
+coalescing + skew-join splitting), shuffle partitions track core count
+instead of the 200 default, and Arrow is enabled for the pandas-UDF
+similarity stage.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rlr_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    ``shuffle_partitions`` defaults to the local core count — on a real
+    cluster this would be ~2-3x total executor cores instead.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+
+    # Python workers unpickle our pandas UDFs, so the package root must be
+    # importable in the *worker* interpreter, not just the driver. Locally
+    # that's PYTHONPATH; on a real cluster the same is achieved with
+    # ``spark-submit --py-files rlr_spark.zip`` (BASELINE.md deployment shape).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+    cores = _master_cores(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 4)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(max(cores, 4)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("RLR_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        # binary html columns can make fat rows; keep broadcasts conservative
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _master_cores(master: str) -> int:
+    """Parse the core count out of a local[N] master string."""
+    if master.startswith("local[") and master.endswith("]"):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 4
+        try:
+            return int(inner)
+        except ValueError:
+            return 4
+    return os.cpu_count() or 4

@@ -1,0 +1,114 @@
+from pyspark.sql import functions as F
+
+from rlr_spark.operators.blocking import (
+    block_pairs,
+    candidate_pairs,
+    lsh_band_keys,
+    normalized_domain,
+    with_domain_key,
+)
+
+
+def test_normalized_domain(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://WWW.Example.COM/a/b",),
+            ("http://sub.site.org/x?q=1",),
+            ("https://mega-site.com/p/1",),
+        ],
+        "url string",
+    )
+    got = [r.blk_key for r in with_domain_key(df).collect()]
+    assert got == ["example.com", "sub.site.org", "mega-site.com"]
+
+
+def test_block_pairs_basic(spark):
+    keyed = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k1"), ("d", "k2"), ("e", "k3"), ("f", "k3")],
+        "id string, blk_key string",
+    )
+    pairs, stats = block_pairs(keyed, "id", salt_k=2, max_block_size=100)
+    got = {(r.l_id, r.r_id) for r in pairs.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c"), ("e", "f")}
+    assert stats.n_dropped_blocks == 0
+
+
+def test_block_pairs_salt_invariance(spark):
+    """Salting changes physical distribution only — pair set invariant in K."""
+    keyed = spark.createDataFrame(
+        [(f"id{i}", f"k{i % 3}") for i in range(30)], "id string, blk_key string"
+    )
+    sets = []
+    for k in (1, 4, 16):
+        pairs, _ = block_pairs(keyed, "id", salt_k=k, max_block_size=None)
+        sets.append(frozenset((r.l_id, r.r_id) for r in pairs.collect()))
+    assert sets[0] == sets[1] == sets[2]
+    assert len(sets[0]) == 3 * (10 * 9 // 2)
+
+
+def test_block_cap_drops_and_logs(spark):
+    keyed = spark.createDataFrame(
+        [(f"id{i}", "hot") for i in range(50)] + [("x", "cold"), ("y", "cold")],
+        "id string, blk_key string",
+    )
+    pairs, stats = block_pairs(keyed, "id", salt_k=2, max_block_size=10)
+    got = {(r.l_id, r.r_id) for r in pairs.collect()}
+    assert got == {("x", "y")}
+    assert stats.n_dropped_blocks == 1
+    assert stats.n_dropped_rows == 50
+
+
+def test_lsh_bands_collide_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base.replace("lazy", "sleepy")
+    far = "completely different words about databases and query engines " * 6
+    df = spark.createDataFrame(
+        [("u1", base), ("u2", near), ("u3", far)], "id string, text string"
+    )
+    keys = lsh_band_keys(df, "id", "text")
+    pairs, _ = block_pairs(keys, "id", salt_k=1, max_block_size=None)
+    got = {(r.l_id, r.r_id) for r in pairs.collect()}
+    assert ("u1", "u2") in got
+    assert ("u1", "u3") not in got and ("u2", "u3") not in got
+
+
+def test_candidate_pairs_connect_planted_clusters(web_pages_small):
+    """Blocking must *connect* ~every planted cluster (transitive recall):
+    near-dup↔near-dup pairs may be missed directly as long as the cluster
+    stays connected through the base member."""
+    pages, truth = web_pages_small
+    pairs, stats = candidate_pairs(pages, max_block_size=None, salt_k=2)
+
+    entity = {r.url: r.entity_id for r in truth.collect()}
+    parent = {u: u for u in entity}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        if entity.get(r.l_id) == entity.get(r.r_id):
+            parent[find(r.l_id)] = find(r.r_id)
+
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for u, e in entity.items():
+        members[e].append(u)
+    multi = [us for us in members.values() if len(us) > 1]
+    connected = sum(1 for us in multi if len({find(u) for u in us}) == 1)
+    assert len(multi) > 20
+    assert connected / len(multi) >= 0.97
+
+    # direct pairwise recall still decent
+    true_pairs = (
+        truth.alias("a")
+        .join(truth.alias("b"), "entity_id")
+        .where(F.col("a.url") < F.col("b.url"))
+        .select(F.col("a.url").alias("l_id"), F.col("b.url").alias("r_id"))
+    )
+    n_true = true_pairs.count()
+    n_hit = true_pairs.join(pairs, ["l_id", "r_id"], "left_semi").count()
+    assert n_hit / n_true > 0.85

@@ -1,0 +1,64 @@
+"""Large-star/small-star CC on hand-built graphs (FIXTURES.md F5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rlr_spark.operators.cluster import cluster_pairs, connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "u long, v long")
+    out = connected_components(df).collect()
+    return {r.node: r.entity_id for r in out}
+
+
+def test_chain(spark):
+    assign = _cc(spark, [(i, i + 1) for i in range(10)])
+    assert set(assign.values()) == {0}
+    assert set(assign.keys()) == set(range(11))
+
+
+def test_star(spark):
+    assign = _cc(spark, [(5, i) for i in range(6, 12)])
+    assert set(assign.values()) == {5}
+
+
+def test_two_components(spark):
+    assign = _cc(spark, [(0, 1), (1, 2), (10, 11), (11, 12)])
+    assert assign[0] == assign[1] == assign[2] == 0
+    assert assign[10] == assign[11] == assign[12] == 10
+
+
+def test_self_loop_and_duplicates(spark):
+    assign = _cc(spark, [(3, 3), (1, 2), (2, 1), (1, 2)])
+    assert assign.get(1) == 1 and assign.get(2) == 1
+    assert 3 not in assign  # self-loop contributes no edge; caller coalesces
+
+
+def test_reversed_and_dense(spark):
+    # K4 plus an appendage, edges in arbitrary orientation
+    edges = [(2, 1), (1, 3), (4, 2), (3, 4), (1, 4), (2, 3), (5, 4)]
+    assign = _cc(spark, edges)
+    assert set(assign.values()) == {1}
+    assert set(assign.keys()) == {1, 2, 3, 4, 5}
+
+
+@pytest.mark.parametrize("n", [2, 7, 29])
+def test_chain_lengths(spark, n):
+    assign = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(assign.values()) == {0}
+
+
+def test_cluster_pairs_string_ids(spark):
+    ids = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("lonely",)], "url string"
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "l_id string, r_id string")
+    out = cluster_pairs(pairs, ids)
+    rows = {r.url: r.entity_key for r in out.collect()}
+    assert rows["a"] == rows["b"] == rows["c"] == "a"
+    assert rows["d"] == "d"
+    assert rows["lonely"] == "lonely"
+    # one entity per node, everyone assigned
+    assert out.count() == 5
+    assert out.select("url").distinct().count() == 5

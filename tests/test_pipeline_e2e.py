@@ -1,0 +1,69 @@
+"""End-to-end: planted clusters recovered with pairwise F1 ≥ 0.99, and
+kill/resume restarts from the last completed stage (BASELINE.md gates)."""
+
+import json
+import os
+
+import pytest
+
+from rlr_spark.catalog import Catalog
+from rlr_spark.pipeline import Pipeline, PipelineConfig, pairwise_f1
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("pipeline_run"))
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, run_dir):
+    from rlr_spark.datagen import write_web_pages
+
+    data_dir = os.path.join(run_dir, "data")
+    pages_path, truth_path = write_web_pages(data_dir, n_pages=400, seed=42)
+    pages = spark.read.parquet(pages_path)
+    truth = spark.read.parquet(truth_path)
+    cat = Catalog(spark, os.path.join(run_dir, "warehouse"))
+    pipe = Pipeline(spark, cat, PipelineConfig(salt_k=2, max_block_size=None))
+    out = pipe.run(pages)
+    return pipe, out, truth
+
+
+def test_f1_against_planted_truth(pipeline_out):
+    pipe, out, truth = pipeline_out
+    scores = pairwise_f1(out["cluster"], truth)
+    assert scores["f1"] >= 0.99, scores
+
+
+def test_stage_manifests_written(pipeline_out, run_dir):
+    pipe, out, _ = pipeline_out
+    for stage in ["extract", "pairs", "score", "cluster"]:
+        m = pipe.read_manifest(stage)
+        assert m is not None and m["status"] == "complete"
+        assert m["rows"] > 0 and m["duration_sec"] >= 0
+        # per-partition lineage metrics table exists
+        metrics = pipe.catalog.read(f"{stage}_metrics")
+        assert metrics.count() >= 1
+        assert {"_pid", "rows", "stage"} <= set(metrics.columns)
+
+
+def test_resume_skips_completed_stages(spark, pipeline_out, run_dir):
+    """Simulate a kill after 'pairs': delete later manifests, re-run, and
+    check earlier stages are not recomputed (manifest mtime unchanged)."""
+    pipe, _, _ = pipeline_out
+    extract_manifest = pipe._manifest_path("extract")
+    mtime_before = os.path.getmtime(extract_manifest)
+    for stage in ["score", "cluster"]:
+        os.remove(pipe._manifest_path(stage))
+    pages = pipe.catalog.read("extract")  # any source; extract stage is skipped
+    out2 = pipe.run(pages)
+    assert os.path.getmtime(extract_manifest) == mtime_before
+    assert pipe.read_manifest("cluster")["status"] == "complete"
+    assert out2["cluster"].count() > 0
+
+
+def test_config_change_invalidates(spark, pipeline_out, run_dir):
+    pipe, _, _ = pipeline_out
+    cfg = PipelineConfig(salt_k=2, max_block_size=None, upper=3.5)
+    pipe2 = Pipeline(spark, pipe.catalog, cfg)
+    assert not pipe2._stage_done("score")  # fingerprint mismatch forces re-run

@@ -1,0 +1,52 @@
+import math
+
+from pyspark.sql import functions as F
+
+from rlr_spark import LABEL_MATCH, LABEL_NONMATCH, LABEL_UNCERTAIN
+from rlr_spark.operators.scoring import FSWeights, estimate_mu, fs_score, score_and_label
+
+
+def test_fs_score_arithmetic(spark):
+    w = FSWeights(groups={"s1": (0.9, 0.1), "s2": (0.8, 0.2)}, agree_threshold=0.5)
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 0.0), (0.0, 0.0)], "s1 double, s2 double"
+    )
+    rows = fs_score(df, w).orderBy(F.desc("s1"), F.desc("s2")).collect()
+    agree1, dis1 = math.log2(0.9 / 0.1), math.log2(0.1 / 0.9)
+    agree2, dis2 = math.log2(0.8 / 0.2), math.log2(0.2 / 0.8)
+    assert math.isclose(rows[0].fs_score, agree1 + agree2, abs_tol=1e-9)
+    assert math.isclose(rows[1].fs_score, agree1 + dis2, abs_tol=1e-9)
+    assert math.isclose(rows[2].fs_score, dis1 + dis2, abs_tol=1e-9)
+
+
+def test_label_trichotomy(spark):
+    w = FSWeights(groups={"s": (0.9, 0.1)}, agree_threshold=0.5, upper=1.0, lower=-1.0)
+    df = spark.createDataFrame([(1.0,), (0.0,)], "s double")
+    rows = score_and_label(df, w).collect()
+    by_s = {r.s: r for r in rows}
+    assert by_s[1.0].rlr_label == LABEL_MATCH
+    assert by_s[0.0].rlr_label == LABEL_NONMATCH
+    assert all(r.rlr_label_ind == 1 for r in rows)
+    # uncertain band
+    w2 = FSWeights(groups={"s": (0.9, 0.1)}, upper=100.0, lower=-100.0)
+    got = score_and_label(df, w2).collect()
+    assert all(r.rlr_label == LABEL_UNCERTAIN for r in got)
+
+
+def test_estimate_mu(spark):
+    df = spark.createDataFrame(
+        [
+            (0.9, LABEL_MATCH),
+            (0.95, LABEL_MATCH),
+            (0.2, LABEL_MATCH),
+            (0.1, LABEL_NONMATCH),
+            (0.9, LABEL_NONMATCH),
+            (0.0, LABEL_NONMATCH),
+            (0.0, LABEL_NONMATCH),
+        ],
+        "sim double, rlr_label string",
+    )
+    mu = estimate_mu(df, ["sim"], agree_threshold=0.8)
+    m, u = mu["sim"]
+    assert math.isclose(m, 2 / 3, abs_tol=1e-9)
+    assert math.isclose(u, 1 / 4, abs_tol=1e-9)
