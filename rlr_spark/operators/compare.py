@@ -104,6 +104,62 @@ def comparison_vectors(
     )
 
 
+def grouped_projection(
+    pairs: DataFrame,
+    data_l: DataFrame,
+    data_r: DataFrame,
+    id_l: str,
+    id_r: str,
+    var_schema: list[dict],
+    l_pair_col: str = "l_id",
+    r_pair_col: str = "r_id",
+) -> DataFrame:
+    """J2: reshape joined pair rows into var-schema groups (rlr.py:327-337).
+
+    Adds ``grp_<name>_lvals`` / ``grp_<name>_rvals`` array<string> columns;
+    a value missing because the id wasn't found renders as the reference's
+    ``"no data found"`` sentinel (rlr.py:335-336: ``dict.get(var, "no data
+    found")`` over an empty record dict).
+    """
+    needed_l = sorted({c for g in var_schema for c in g["lvars"]})
+    needed_r = sorted({c for g in var_schema for c in g["rvars"]})
+    lh = data_l.select(
+        F.col(id_l).alias(l_pair_col),
+        F.lit(1).alias("_l_found"),
+        *[F.col(c).cast("string").alias("_l_" + c) for c in needed_l],
+    )
+    rh = data_r.select(
+        F.col(id_r).alias(r_pair_col),
+        F.lit(1).alias("_r_found"),
+        *[F.col(c).cast("string").alias("_r_" + c) for c in needed_r],
+    )
+    joined = pairs.join(lh, l_pair_col, "left").join(rh, r_pair_col, "left")
+
+    missing = F.lit("no data found")
+    out_cols = []
+    for g in var_schema:
+        name = g["name"].lower().replace(" ", "_")
+        lvals = F.array(
+            *[
+                F.when(F.col("_l_found").isNull(), missing).otherwise(
+                    F.coalesce(F.col("_l_" + c), F.lit(_NAN_TOKEN))
+                )
+                for c in g["lvars"]
+            ]
+        )
+        rvals = F.array(
+            *[
+                F.when(F.col("_r_found").isNull(), missing).otherwise(
+                    F.coalesce(F.col("_r_" + c), F.lit(_NAN_TOKEN))
+                )
+                for c in g["rvars"]
+            ]
+        )
+        out_cols.append(lvals.alias(f"grp_{name}_lvals"))
+        out_cols.append(rvals.alias(f"grp_{name}_rvals"))
+    return joined.select(*[pairs[c] for c in pairs.columns], *out_cols)
+
+
 def text_pair_similarity(
     pairs: DataFrame,
     pages: DataFrame,

@@ -1,0 +1,75 @@
+import math
+
+from pyspark.sql import functions as F
+
+from rlr_spark.functions.dedup import (
+    exact_dedup,
+    exact_dup_groups,
+    minhash_dup_pairs,
+    ngram_dup_pairs,
+    ngram_jaccard,
+    simhash_dup_pairs,
+    simhash64_udf,
+)
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    near = base.replace("lazy", "sleepy")
+    other = "completely unrelated text about spark query engines and shuffles " * 4
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),          # exact dup of 1
+            (3, near),          # near dup of 1
+            (4, other),
+            (5, other.upper()), # case-different (NOT an exact dup)
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dup_groups(spark):
+    docs = _docs(spark)
+    groups = {r.doc_id: (r.dup_group_min_id, r.group_size) for r in exact_dup_groups(docs).collect()}
+    assert groups[1] == (1, 2) and groups[2] == (1, 2)
+    assert groups[3][1] == 1
+    assert groups[4][1] == 1 and groups[5][1] == 1
+
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_minhash_dup_pairs(spark):
+    got = {(r.l_id, r.r_id) for r in minhash_dup_pairs(_docs(spark), jaccard_threshold=0.7).collect()}
+    assert (1, 2) in got
+    assert (1, 3) in got and (2, 3) in got
+    assert not any(4 in p or 5 in p for p in got if p != (4, 5))
+
+
+def test_simhash_deterministic_and_dup_pairs(spark):
+    docs = _docs(spark)
+    h = {r.doc_id: r.h for r in docs.select("doc_id", simhash64_udf("text").alias("h")).collect()}
+    assert h[1] == h[2]  # identical text, identical fingerprint
+    assert h[1] != h[4]
+    got = {(r.l_id, r.r_id): r.hamming for r in simhash_dup_pairs(docs, max_hamming=10).collect()}
+    assert got[(1, 2)] == 0
+    assert (1, 3) in got
+    # case-only difference: simhash over lowered tokens -> distance 0
+    assert got[(4, 5)] == 0
+
+
+def test_ngram_jaccard(spark):
+    df = spark.createDataFrame([("abcd", "abcd"), ("abcd", "zzzz")], "l string, r string")
+    rows = df.select(ngram_jaccard(F.col("l"), F.col("r")).alias("j")).collect()
+    assert rows[0].j == 1.0
+    assert rows[1].j == 0.0
+
+
+def test_ngram_dup_pairs(spark):
+    docs = _docs(spark)
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "l_id long, r_id long")
+    got = {(r.l_id, r.r_id): r.ngram_jaccard for r in ngram_dup_pairs(pairs, docs, threshold=0.5).collect()}
+    assert math.isclose(got[(1, 2)], 1.0, abs_tol=1e-9)
+    assert (1, 3) in got
+    assert (1, 4) not in got

@@ -1,0 +1,81 @@
+import math
+
+import duckdb
+from pyspark.sql import functions as F
+
+from rlr_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    fingerprint_sql,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a b  c", 3), ("", 0), ("  one  ", 1), (None, 0)], "t string, want int"
+    )
+    rows = df.select(token_count(F.col("t")).alias("n"), "want").collect()
+    for r in rows:
+        assert r.n == r.want
+
+
+def test_bpe_ish_count(spark):
+    df = spark.createDataFrame([("Hello, world! x2",)], "t string")
+    # pieces: Hello , world ! x 2  -> 6
+    assert df.select(bpe_ish_token_count(F.col("t")).alias("n")).collect()[0].n == 6
+
+
+def test_punct_and_stopword_ratio(spark):
+    df = spark.createDataFrame([("the cat!!",)], "t string")
+    r = df.select(
+        punct_ratio(F.col("t")).alias("p"), stopword_ratio(F.col("t")).alias("s")
+    ).collect()[0]
+    assert math.isclose(r.p, 2 / 8, abs_tol=1e-9)  # 2 '!' of 8 non-space chars
+    assert math.isclose(r.s, 1 / 2, abs_tol=1e-9)  # 'the' of 2 tokens
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox is on the mat " * 10,), ("!!!! ???? ####",)],
+        "t string",
+    )
+    rows = df.select(quality_score(F.col("t")).alias("q")).collect()
+    good, bad = rows[0].q, rows[1].q
+    assert 0.0 <= bad < good <= 1.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog with this", "en"),
+            ("und der hund das nicht gut", "de"),
+            ("avec les amis pour dans paris", "fr"),
+            ("zzz qqq", "en"),  # no markers -> default
+        ],
+        "t string, want string",
+    )
+    rows = df.select(lang_id(F.col("t")).alias("got"), "want").collect()
+    for r in rows:
+        assert r.got == r.want
+
+
+def test_fingerprint_matches_duckdb_oracle(spark):
+    texts = ["hello world", "", "a", "The quick brown fox! 123"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r.fp for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    want = [
+        duckdb.sql(f"SELECT {fingerprint_sql('text')} AS fp FROM (SELECT '{t}' AS text)")
+        .fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+    # pure polynomial check on a known tiny case: h('ab') = (0*31+97)*31+98
+    assert got[2] == ord("a")
+    assert duckdb.sql(
+        f"SELECT {fingerprint_sql('text')} FROM (SELECT 'ab' AS text)"
+    ).fetchone()[0] == 97 * 31 + 98
