@@ -1,38 +1,649 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every SQL-checkable operator from SURVEY.md §2 —
+the reference's review/aggregation/join/navigation semantics (V1-V4, P1,
+J1-J2, C1-C3, A1-A3, U1, N2) plus the north-rule pipeline stages
+(blocking, similarity, FS scoring, connected components) and the
+training-data operators (exact/ngram/minhash/simhash dedup, text
+analysis, embedding similarity). ``oracle_sql()`` gives the DuckDB
+equivalent for each; genuinely non-SQL ops (hash-seeded MinHash/SimHash,
+LSH-bucketed ANN) are exposed without an oracle (rows-only check).
+
+Every computed column is aliased identically on both sides; doubles are
+rounded to 6 places on both sides so the value hash is stable.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship — near-dup blocking + similarity + FS labels + clustering
+# over the documents corpus (the full ER pipeline shape on driver testdata)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    return queries()["cc_clusters"](spark, sf_dir)
 
+
+# ---------------------------------------------------------------------------
+# shared building blocks (kept tiny so each query reads declaratively)
+# ---------------------------------------------------------------------------
+
+def _doc_pairs_same_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical within-source candidate pairs over documents (blocking
+    pass on the 'source' key — the documents-table analogue of the
+    normalized-domain block)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text", "lang")
+    a = d.select(
+        F.col("doc_id").alias("l_id"),
+        F.col("source"),
+        F.col("text").alias("l_text"),
+        F.col("lang").alias("l_lang"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("r_id"),
+        F.col("source"),
+        F.col("text").alias("r_text"),
+        F.col("lang").alias("r_lang"),
+    )
+    return a.join(b, "source").where(F.col("l_id") < F.col("r_id"))
+
+
+_PAIR_SQL = """
+    SELECT a.doc_id AS l_id, b.doc_id AS r_id, a.source AS source,
+           a.text AS l_text, b.text AS r_text,
+           a.lang AS l_lang, b.lang AS r_lang
+    FROM documents a JOIN documents b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+"""
+
+_TOK = "list_distinct(string_split(lower(trim({c})), ' '))"
+_JAC_SQL = (
+    f"round(CASE WHEN len(list_distinct(list_concat({_TOK.format(c='l_text')}, "
+    f"{_TOK.format(c='r_text')}))) = 0 THEN 0.0 ELSE "
+    f"len(list_intersect({_TOK.format(c='l_text')}, {_TOK.format(c='r_text')}))::DOUBLE / "
+    f"len(list_distinct(list_concat({_TOK.format(c='l_text')}, {_TOK.format(c='r_text')})))::DOUBLE END, 6)"
+)
+
+# FS weights used by the c3/cc queries (fixed, mirrored in SQL literals):
+# group 1 = token-jaccard agreement (m=0.95, u=0.02), group 2 = same-lang
+# (m=0.9, u=0.3). log2 weights inlined as exact decimal literals.
+_W1_A, _W1_D = 5.569855608330948, -4.292321557058806  # log2(.95/.02), log2(.05/.98)
+_W2_A, _W2_D = 1.5849625007211562, -2.807354922057604  # log2(.9/.3), log2(.1/.7)
+
+
+def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rlr_spark.functions.similarity import token_jaccard
+
+    p = _doc_pairs_same_source(spark, sf_dir)
+    jac = token_jaccard(F.col("l_text"), F.col("r_text"))
+    agree1 = jac >= 0.5
+    agree2 = F.col("l_lang") == F.col("r_lang")
+    score = (
+        F.when(agree1, F.lit(_W1_A)).otherwise(F.lit(_W1_D))
+        + F.when(agree2, F.lit(_W2_A)).otherwise(F.lit(_W2_D))
+    )
+    return p.select(
+        "l_id",
+        "r_id",
+        F.round(jac, 6).alias("jaccard"),
+        F.round(score, 6).alias("fs_score"),
+        F.when(score >= 4.0, F.lit("Match"))
+        .when(score <= 0.0, F.lit("Not a Match"))
+        .otherwise(F.lit("Maybe a Match"))
+        .alias("rlr_label"),
+    )
+
+
+_FS_SQL = f"""
+    WITH pairs AS ({_PAIR_SQL}),
+    sc AS (
+      SELECT l_id, r_id, {_JAC_SQL} AS jaccard,
+             (CASE WHEN {_JAC_SQL} >= 0.5 THEN {_W1_A} ELSE {_W1_D} END
+              + CASE WHEN l_lang = r_lang THEN {_W2_A} ELSE {_W2_D} END) AS score
+      FROM pairs)
+    SELECT l_id, r_id, jaccard, round(score, 6) AS fs_score,
+           CASE WHEN score >= 4.0 THEN 'Match'
+                WHEN score <= 0.0 THEN 'Not a Match'
+                ELSE 'Maybe a Match' END AS rlr_label
+    FROM sc
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from rlr_spark.functions.dedup import (
+        exact_dup_groups,
+        minhash_dup_pairs,
+        ngram_jaccard,
+        simhash_dup_pairs,
+    )
+    from rlr_spark.functions.embeddings import brute_force_topk, lsh_topk
+    from rlr_spark.functions.similarity import levenshtein_sim, token_jaccard
+    from rlr_spark.functions.text import (
+        bpe_ish_token_count,
+        fingerprint,
+        lang_id,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+    from rlr_spark.operators.cluster import connected_components
+    from rlr_spark.operators.review import existence_flags, label_counts
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- V1: key-uniqueness check (rlr.py:95,106) ---------------------------
+    def v1_key_uniqueness(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return (
+            d.groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > 1)
+            .agg(F.count("*").alias("dup_keys"))
+        )
+
+    # -- V3: existence flags via joins, not row loops (rlr.py:168-179) ------
+    def v3_existence_flags(spark, sf_dir):
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey"
+        )
+        orders = _t(spark, sf_dir, "orders")
+        # only even partkeys "exist" so both flag values occur
+        part = _t(spark, sf_dir, "part").where(F.col("p_partkey") % 2 == 0)
+        flagged = existence_flags(
+            li, orders, part, "o_orderkey", "p_partkey",
+            l_pair_col="l_orderkey", r_pair_col="l_partkey",
+        )
+        return flagged.select(
+            "l_orderkey", "l_linenumber", "rlr_l_id_exists", "rlr_r_id_exists"
+        )
+
+    # -- V4: coverage ratio (rlr.py:181-185) --------------------------------
+    def v4_coverage_ratio(spark, sf_dir):
+        flagged = v3_existence_flags(spark, sf_dir)
+        return flagged.agg(
+            F.round(
+                F.avg((F.col("rlr_l_id_exists") * F.col("rlr_r_id_exists")).cast("double")),
+                6,
+            ).alias("coverage")
+        )
+
+    # -- A1: label counts with Unlabeled bucket (rlr.py:341-368) ------------
+    def a1_label_counts(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents").withColumn(
+            "rlr_label", F.when(F.col("lang") == "en", F.lit("")).otherwise(F.col("lang"))
+        )
+        return label_counts(d)
+
+    # -- A2: label percentages (pages/01:267-270) ----------------------------
+    def a2_label_percent(spark, sf_dir):
+        counts = a1_label_counts(spark, sf_dir)
+        total = counts.agg(F.sum("count").alias("t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "label",
+            "count",
+            F.round(F.col("count") / F.col("t") * 100, 1).alias("pct"),
+        )
+
+    # -- A3: completion check (pages/02:185-191) -----------------------------
+    def a3_completion(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.agg(
+            F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("labeled"),
+            F.count("*").alias("total"),
+        )
+
+    # -- J1: pair→record hash join (replaces .loc lookups, rlr.py:317,322) --
+    def j1_pair_record_join(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders")
+        customer = _t(spark, sf_dir, "customer")
+        return orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]).select(
+            "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+        )
+
+    # -- J2: grouped projection with 'no data found' (rlr.py:327-337) -------
+    def j2_grouped_projection(spark, sf_dir):
+        from rlr_spark.operators.compare import grouped_projection
+
+        customer = _t(spark, sf_dir, "customer")
+        supplier = _t(spark, sf_dir, "supplier")
+        pairs = (
+            customer.where(F.col("c_custkey") <= 20)
+            .select(F.col("c_custkey").alias("l_id"))
+            .crossJoin(
+                supplier.where(F.col("s_suppkey") <= 5).select(
+                    F.col("s_suppkey").alias("r_id")
+                )
+            )
+        )
+        schema = [
+            {"name": "Name", "lvars": ["c_name"], "rvars": ["s_name"]},
+            {"name": "Geo", "lvars": ["c_nationkey", "c_acctbal"], "rvars": ["s_nationkey"]},
+        ]
+        g = grouped_projection(pairs, customer, supplier, "c_custkey", "s_suppkey", schema)
+        return g.select(
+            "l_id",
+            "r_id",
+            F.concat_ws("|", "grp_name_lvals").alias("name_l"),
+            F.concat_ws("|", "grp_name_rvals").alias("name_r"),
+            F.concat_ws("|", "grp_geo_lvals").alias("geo_l"),
+            F.concat_ws("|", "grp_geo_rvals").alias("geo_r"),
+        )
+
+    # -- C1: normalized exact-match bit (pages/02:137-143) -------------------
+    def c1_exact_match(spark, sf_dir):
+        part = _t(spark, sf_dir, "part")
+        a = part.select(
+            F.col("p_partkey").alias("l_id"), F.col("p_size"), F.col("p_brand").alias("lb")
+        ).where(F.col("l_id") <= 500)
+        b = part.select(
+            F.col("p_partkey").alias("r_id"), F.col("p_size"), F.col("p_brand").alias("rb")
+        ).where(F.col("r_id") <= 500)
+        return (
+            a.join(b, "p_size")
+            .where(F.col("l_id") < F.col("r_id"))
+            .select(
+                "l_id",
+                "r_id",
+                (F.lower(F.trim(F.col("lb"))) == F.lower(F.trim(F.col("rb"))))
+                .cast("int")
+                .alias("exact_bit"),
+            )
+        )
+
+    # -- C2: token-Jaccard + Levenshtein similarity vector --------------------
+    def c2_similarity(spark, sf_dir):
+        p = _doc_pairs_same_source(spark, sf_dir).where(
+            (F.col("l_id") % 7 == 0) & (F.col("r_id") % 7 == 0)
+        )
+        return p.select(
+            "l_id",
+            "r_id",
+            F.round(token_jaccard(F.col("l_text"), F.col("r_text")), 6).alias("jaccard"),
+            F.round(
+                levenshtein_sim(F.col("l_text"), F.col("r_text"), max_len=60), 6
+            ).alias("lev_sim"),
+        )
+
+    # -- C3: Fellegi-Sunter score + label trichotomy --------------------------
+    def c3_fs_score(spark, sf_dir):
+        return _fs_scored_pairs(spark, sf_dir)
+
+    # -- N2: next-unlabeled top-1 (pages/02:25-36) ----------------------------
+    def n2_next_unlabeled(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return (
+            d.where((F.col("lang") == "en") & (F.col("doc_id") > 100))
+            .orderBy("doc_id")
+            .limit(1)
+            .select("doc_id", "lang")
+        )
+
+    # -- P1: dense positional pair id (rlr.py:157) ----------------------------
+    def p1_dense_pair_id(spark, sf_dir):
+        orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+        w = Window.orderBy("o_orderkey")
+        return orders.select(
+            "o_orderkey", (F.row_number().over(w) - 1).alias("pair_id")
+        )
+
+    # -- U1: bulk label upsert → counts (rlr.py:698-744) ----------------------
+    def u1_upsert_labels(spark, sf_dir):
+        from rlr_spark.operators.review import init_review_columns, upsert_labels
+
+        d = init_review_columns(_t(spark, sf_dir, "documents").select("doc_id", "lang"))
+        upd = d.where(F.col("lang") == "de").select(
+            "doc_id", F.lit("Match").alias("rlr_label")
+        )
+        merged = upsert_labels(d, upd, ["doc_id"], ["Match"], stamp_ts="2024-01-01 00:00:00")
+        return label_counts(merged)
+
+    # -- blocking: pair count via salted self-join == closed form -------------
+    def block_domain_paircount(spark, sf_dir):
+        from rlr_spark.operators.blocking import block_pairs
+
+        d = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id"), F.col("source").alias("blk_key")
+        )
+        pairs, _ = block_pairs(d, "doc_id", salt_k=4, max_block_size=None)
+        return pairs.agg(F.count("*").alias("n_pairs"))
+
+    # -- dedup: exact hash groups ---------------------------------------------
+    def dedup_exact(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return (
+            exact_dup_groups(d)
+            .groupBy("group_size")
+            .agg(F.count("*").alias("n_docs"), F.min("dup_group_min_id").alias("min_rep"))
+        )
+
+    # -- dedup: char-3-gram Jaccard over sampled pairs ------------------------
+    def dedup_ngram(spark, sf_dir):
+        p = _doc_pairs_same_source(spark, sf_dir).where(
+            (F.col("l_id") % 11 == 0) & (F.col("r_id") % 11 == 0)
+        )
+        return p.select(
+            "l_id",
+            "r_id",
+            F.round(ngram_jaccard(F.col("l_text"), F.col("r_text"), 3), 6).alias(
+                "ngram_jaccard"
+            ),
+        )
+
+    # -- text analysis ----------------------------------------------------------
+    def text_stats(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n_tok"),
+            bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+            F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+            F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        )
+
+    def text_lang_id(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+    def text_fingerprint(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+    # -- embeddings: exact brute-force top-k ------------------------------------
+    def emb_topk_cosine(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        q = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = brute_force_topk(e, q, k=5)
+        return out.select(
+            "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
+        )
+
+    # -- connected components: Spark large-star/small-star vs recursive SQL ----
+    def cc_clusters(spark, sf_dir):
+        scored = _fs_scored_pairs(spark, sf_dir)
+        edges = scored.where(F.col("rlr_label") == "Match").select(
+            F.col("l_id").alias("u"), F.col("r_id").alias("v")
+        )
+        assign = connected_components(edges)
+        docs = _t(spark, sf_dir, "documents").select("doc_id")
+        return docs.join(assign, docs["doc_id"] == assign["node"], "left").select(
+            "doc_id",
+            F.coalesce(F.col("entity_id"), F.col("doc_id")).alias("entity_id"),
+        )
+
+    # -- no-oracle ops (hash-seeded; rows-only driver check) --------------------
+    def dedup_minhash(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return minhash_dup_pairs(d, jaccard_threshold=0.8)
+
+    def dedup_simhash(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return simhash_dup_pairs(d, max_hamming=8)
+
+    def emb_ann_lsh(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        q = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        dim = len(e.select("embedding").first()[0])
+        return lsh_topk(e, q, dim=dim, k=5, n_planes=4).select(
+            "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
+        )
+
+    return {
+        "v1_key_uniqueness": v1_key_uniqueness,
+        "v3_existence_flags": v3_existence_flags,
+        "v4_coverage_ratio": v4_coverage_ratio,
+        "a1_label_counts": a1_label_counts,
+        "a2_label_percent": a2_label_percent,
+        "a3_completion": a3_completion,
+        "j1_pair_record_join": j1_pair_record_join,
+        "j2_grouped_projection": j2_grouped_projection,
+        "c1_exact_match": c1_exact_match,
+        "c2_similarity": c2_similarity,
+        "c3_fs_score": c3_fs_score,
+        "n2_next_unlabeled": n2_next_unlabeled,
+        "p1_dense_pair_id": p1_dense_pair_id,
+        "u1_upsert_labels": u1_upsert_labels,
+        "block_domain_paircount": block_domain_paircount,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram": dedup_ngram,
+        "text_stats": text_stats,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+        "emb_topk_cosine": emb_topk_cosine,
+        "cc_clusters": cc_clusters,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "emb_ann_lsh": emb_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from rlr_spark.functions.text import fingerprint_sql
+
+    ngram = (
+        "list_distinct(list_transform(range(1, greatest(length(lower({c}))-2, 0)+1), "
+        "i -> substr(lower({c}), i::INTEGER, 3)))"
+    )
+    ngram_l, ngram_r = ngram.format(c="l_text"), ngram.format(c="r_text")
+
+    sw = "['the','a','an','and','or','of','to','in','on','for','with','at','by','from','is','are','was','this','that','it']"
+    markers = {
+        "de": "['und','der','die','das','nicht']",
+        "en": "['the','and','with','from','this']",
+        "es": "['los','las','por','para','como']",
+        "fr": "['les','des','avec','pour','dans']",
+    }
+    toks = "string_split(trim(lower(text)), ' ')"
+    lang_cnt = {
+        lang: f"len(list_filter({toks}, t -> list_contains({arr}, t)))"
+        for lang, arr in markers.items()
+    }
+    # argmax with alphabetical tie-break, default 'en' when all zero —
+    # exactly mirrors rlr_spark.functions.text.lang_id's fold order
+    lang_case = f"""
+      CASE
+        WHEN {lang_cnt['fr']} > greatest({lang_cnt['de']}, {lang_cnt['en']}, {lang_cnt['es']}, 0) THEN 'fr'
+        WHEN {lang_cnt['es']} > greatest({lang_cnt['de']}, {lang_cnt['en']}, 0) THEN 'es'
+        WHEN {lang_cnt['en']} > greatest({lang_cnt['de']}, 0) THEN 'en'
+        WHEN {lang_cnt['de']} > 0 THEN 'de'
+        ELSE 'en'
+      END
     """
-    return {}
+
+    return {
+        "v1_key_uniqueness": """
+            SELECT count(*) AS dup_keys FROM (
+              SELECT doc_id FROM documents GROUP BY doc_id HAVING count(*) > 1)
+        """,
+        "v3_existence_flags": """
+            SELECT l.l_orderkey, l.l_linenumber,
+                   CASE WHEN o.o_orderkey IS NULL THEN 0 ELSE 1 END AS rlr_l_id_exists,
+                   CASE WHEN p.p_partkey IS NULL THEN 0 ELSE 1 END AS rlr_r_id_exists
+            FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey
+            LEFT JOIN (SELECT DISTINCT p_partkey FROM part WHERE p_partkey % 2 = 0) p
+              ON l.l_partkey = p.p_partkey
+        """,
+        "v4_coverage_ratio": """
+            SELECT round(avg((rlr_l_id_exists * rlr_r_id_exists)::DOUBLE), 6) AS coverage
+            FROM (
+              SELECT CASE WHEN o.o_orderkey IS NULL THEN 0 ELSE 1 END AS rlr_l_id_exists,
+                     CASE WHEN p.p_partkey IS NULL THEN 0 ELSE 1 END AS rlr_r_id_exists
+              FROM lineitem l
+              LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                ON l.l_orderkey = o.o_orderkey
+              LEFT JOIN (SELECT DISTINCT p_partkey FROM part WHERE p_partkey % 2 = 0) p
+                ON l.l_partkey = p.p_partkey)
+        """,
+        "a1_label_counts": """
+            SELECT coalesce(nullif(CASE WHEN lang = 'en' THEN '' ELSE lang END, ''),
+                            'Unlabeled') AS label,
+                   count(*) AS count
+            FROM documents GROUP BY 1
+        """,
+        "a2_label_percent": """
+            WITH c AS (
+              SELECT coalesce(nullif(CASE WHEN lang = 'en' THEN '' ELSE lang END, ''),
+                              'Unlabeled') AS label,
+                     count(*) AS count
+              FROM documents GROUP BY 1)
+            SELECT label, count,
+                   round(count::DOUBLE / (SELECT sum(count) FROM c) * 100, 1) AS pct
+            FROM c
+        """,
+        "a3_completion": """
+            SELECT sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS labeled,
+                   count(*) AS total
+            FROM documents
+        """,
+        "j1_pair_record_join": """
+            SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+        "j2_grouped_projection": """
+            SELECT c.c_custkey AS l_id, s.s_suppkey AS r_id,
+                   c.c_name AS name_l, s.s_name AS name_r,
+                   c.c_nationkey::VARCHAR || '|' || c.c_acctbal::VARCHAR AS geo_l,
+                   s.s_nationkey::VARCHAR AS geo_r
+            FROM customer c CROSS JOIN supplier s
+            WHERE c.c_custkey <= 20 AND s.s_suppkey <= 5
+        """,
+        "c1_exact_match": """
+            SELECT a.p_partkey AS l_id, b.p_partkey AS r_id,
+                   CASE WHEN lower(trim(a.p_brand)) = lower(trim(b.p_brand))
+                        THEN 1 ELSE 0 END AS exact_bit
+            FROM part a JOIN part b
+              ON a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+            WHERE a.p_partkey <= 500 AND b.p_partkey <= 500
+        """,
+        "c2_similarity": f"""
+            WITH pairs AS ({_PAIR_SQL})
+            SELECT l_id, r_id, {_JAC_SQL} AS jaccard,
+                   round(CASE WHEN greatest(length(substr(trim(lower(l_text)), 1, 60)),
+                                            length(substr(trim(lower(r_text)), 1, 60))) = 0
+                              THEN 1.0
+                              ELSE 1.0 - levenshtein(substr(trim(lower(l_text)), 1, 60),
+                                                     substr(trim(lower(r_text)), 1, 60))::DOUBLE
+                                   / greatest(length(substr(trim(lower(l_text)), 1, 60)),
+                                              length(substr(trim(lower(r_text)), 1, 60)))::DOUBLE
+                          END, 6) AS lev_sim
+            FROM pairs WHERE l_id % 7 = 0 AND r_id % 7 = 0
+        """,
+        "c3_fs_score": _FS_SQL,
+        "n2_next_unlabeled": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang = 'en' AND doc_id > 100
+            ORDER BY doc_id LIMIT 1
+        """,
+        "p1_dense_pair_id": """
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_orderkey) - 1 AS pair_id
+            FROM orders WHERE o_orderkey <= 1000
+        """,
+        "u1_upsert_labels": """
+            SELECT coalesce(nullif(CASE WHEN lang = 'de' THEN 'Match' ELSE '' END, ''),
+                            'Unlabeled') AS label,
+                   count(*) AS count
+            FROM documents GROUP BY 1
+        """,
+        "block_domain_paircount": """
+            SELECT coalesce(sum(n * (n - 1) / 2), 0)::BIGINT AS n_pairs FROM (
+              SELECT count(*)::BIGINT AS n FROM documents GROUP BY source)
+        """,
+        "dedup_exact": """
+            WITH g AS (
+              SELECT md5(text) AS text_md5, min(doc_id) AS dup_group_min_id,
+                     count(*) AS group_size
+              FROM documents GROUP BY 1),
+            docs AS (
+              SELECT d.doc_id, g.group_size, g.dup_group_min_id
+              FROM documents d JOIN g ON md5(d.text) = g.text_md5)
+            SELECT group_size, count(*) AS n_docs, min(dup_group_min_id) AS min_rep
+            FROM docs GROUP BY group_size
+        """,
+        "dedup_ngram": f"""
+            WITH pairs AS ({_PAIR_SQL})
+            SELECT l_id, r_id,
+                   round(CASE WHEN len(list_distinct(list_concat({ngram_l}, {ngram_r}))) = 0
+                              THEN 0.0
+                              ELSE len(list_intersect({ngram_l}, {ngram_r}))::DOUBLE
+                                   / len(list_distinct(list_concat({ngram_l}, {ngram_r})))::DOUBLE
+                          END, 6) AS ngram_jaccard
+            FROM pairs WHERE l_id % 11 = 0 AND r_id % 11 = 0
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                        ELSE len(string_split(trim(text), ' ')) END AS n_tok,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+                   round(CASE WHEN length(regexp_replace(coalesce(text,''), '\\s', '', 'g')) = 0
+                              THEN 0.0
+                              ELSE length(regexp_replace(coalesce(text,''), '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                                   / length(regexp_replace(coalesce(text,''), '\\s', '', 'g'))::DOUBLE
+                          END, 6) AS punct_ratio,
+                   round(CASE WHEN trim(text) = '' OR text IS NULL THEN 0.0
+                              ELSE len(list_filter({toks}, t -> list_contains({sw}, t)))::DOUBLE
+                                   / len({toks})::DOUBLE
+                          END, 6) AS stopword_ratio
+            FROM documents
+        """,
+        "text_lang_id": f"""
+            SELECT doc_id, {lang_case} AS lang_guess FROM documents
+        """,
+        "text_fingerprint": f"""
+            SELECT doc_id, {fingerprint_sql('text')} AS fp FROM documents
+        """,
+        "emb_topk_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qv, e.embedding) AS cs
+              FROM embeddings e CROSS JOIN q),
+            ranked AS (
+              SELECT query_id, vec_id, round(cs, 4) AS cos_sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, cos_sim, rank::INTEGER AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "cc_clusters": f"""
+            WITH RECURSIVE sc AS ({_FS_SQL}),
+            e(src, dst) AS (
+              SELECT l_id, r_id FROM sc WHERE rlr_label = 'Match'
+              UNION ALL
+              SELECT r_id, l_id FROM sc WHERE rlr_label = 'Match'),
+            walk(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.node
+            )
+            SELECT node AS doc_id, min(comp) AS entity_id
+            FROM walk GROUP BY node
+        """,
+    }

@@ -82,17 +82,34 @@ def lsh_band_keys(
     1-(1-0.6^3)^16 ≈ 0.98 (cross-domain near-dups land here), while
     unrelated web text (Jaccard ≤ 0.05) collides at ≤ 0.2%.
     """
-    sig = minhash_signature(shingle_col(F.col(text_col), shingle_k), bands * rows_per_band)
+    # Staged projections on purpose: Catalyst does NOT common-subexpression-
+    # eliminate across output columns, so inlining the shingle array into
+    # all bands*rows signature expressions re-evaluates the (expensive)
+    # shingling O(bands*rows) times per row. Each select boundary below
+    # materializes its value once per row inside whole-stage codegen.
+    shingled = df.select(
+        F.col(id_col), shingle_col(F.col(text_col), shingle_k).alias("_sh")
+    )
+    num_perm = bands * rows_per_band
+    sigged = shingled.select(
+        F.col(id_col),
+        *[
+            _perm_min(F.col("_sh"), j).alias(f"_sig{j}")
+            for j in range(num_perm)
+        ],
+    )
     band_cols = [
         F.concat_ws(
             ":",
             F.lit(str(b)),
-            F.xxhash64(*sig[b * rows_per_band : (b + 1) * rows_per_band]).cast("string"),
+            F.xxhash64(
+                *[F.col(f"_sig{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+            ).cast("string"),
         )
         for b in range(bands)
     ]
     return (
-        df.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("blk_key"))
+        sigged.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("blk_key"))
         # identical docs collide in every band; one bucket per (id, key) is enough
         .dropDuplicates([id_col, "blk_key"])
     )
@@ -125,6 +142,10 @@ def block_pairs(
     ``keyed``: (id_col, key_col[, ...]). Returns (pairs(l_id, r_id), stats).
     """
     keyed = keyed.select(id_col, key_col).where(F.col(key_col).isNotNull())
+    # the keyed relation is consumed by three jobs (sizes agg, stats
+    # collect, pair join); persisting avoids recomputing an expensive
+    # upstream (e.g. the 48-permutation minhash) each time
+    keyed = keyed.persist()
 
     sizes = keyed.groupBy(key_col).agg(F.count("*").alias("_blk_n"))
     if max_block_size is not None:

@@ -172,17 +172,44 @@ def text_pair_similarity(
     Returns pairs + sim_jaccard (+ sim_jw) + exact bit. Kept separate
     from the general var-schema path so the hot loop at 100 TB is pure
     column ops with a single join per side and no UDF unless asked.
+
+    Each document is tokenized ONCE on the record side before the join —
+    tokenization is O(docs), set-intersection is O(pairs). Tokenizing
+    inside the pair expression would redo the split/distinct work
+    |pairs|/|docs| times (hundreds x at web scale).
     """
-    lh = pages.select(F.col(id_col).alias("l_id"), F.col(text_col).alias("_l_text"))
-    rh = pages.select(F.col(id_col).alias("r_id"), F.col(text_col).alias("_r_text"))
+    from rlr_spark.functions.similarity import norm_tokens
+
+    recs = pages.select(
+        F.col(id_col).alias("_rid"),
+        norm_tokens(F.col(text_col)).alias("_toks"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("_norm_md5"),
+        *( [F.col(text_col).alias("_raw")] if use_jaro_winkler else [] ),
+    )
+    lh = recs.select(
+        F.col("_rid").alias("l_id"),
+        F.col("_toks").alias("_lt"),
+        F.col("_norm_md5").alias("_lmd5"),
+        *( [F.col("_raw").alias("_lraw")] if use_jaro_winkler else [] ),
+    )
+    rh = recs.select(
+        F.col("_rid").alias("r_id"),
+        F.col("_toks").alias("_rt"),
+        F.col("_norm_md5").alias("_rmd5"),
+        *( [F.col("_raw").alias("_rraw")] if use_jaro_winkler else [] ),
+    )
     df = pairs.join(lh, "l_id").join(rh, "r_id")
-    df = df.withColumn("sim_jaccard", token_jaccard(F.col("_l_text"), F.col("_r_text")))
+    inter = F.size(F.array_intersect(F.col("_lt"), F.col("_rt"))).cast("double")
+    union = F.size(F.array_union(F.col("_lt"), F.col("_rt"))).cast("double")
     df = df.withColumn(
-        "cmp_text_exact",
-        exact_match_bit(
-            F.lower(F.trim(F.col("_l_text"))), F.lower(F.trim(F.col("_r_text")))
-        ),
+        "sim_jaccard", F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    )
+    # exact bit via the precomputed normalized-text md5: equality of the
+    # 16-byte digest, not of two page-sized strings
+    df = df.withColumn(
+        "cmp_text_exact", (F.col("_lmd5") == F.col("_rmd5")).cast("double")
     )
     if use_jaro_winkler:
-        df = df.withColumn("sim_jw", jaro_winkler(F.col("_l_text"), F.col("_r_text")))
-    return df.drop("_l_text", "_r_text")
+        df = df.withColumn("sim_jw", jaro_winkler(F.col("_lraw"), F.col("_rraw")))
+        df = df.drop("_lraw", "_rraw")
+    return df.drop("_lt", "_rt", "_lmd5", "_rmd5")

@@ -128,6 +128,9 @@ class Pipeline:
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=2)
         os.replace(tmp, self._manifest_path(stage))  # atomic: kill-safe
+        # stage output is durable; drop any intra-stage caches (e.g. the
+        # blocking pass's persisted key relation)
+        self.spark.catalog.clearCache()
 
     def read_manifest(self, stage: str) -> dict | None:
         p = self._manifest_path(stage)
