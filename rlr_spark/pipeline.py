@@ -152,12 +152,20 @@ class Pipeline:
                 if os.path.exists(p):
                     os.remove(p)
 
+        # a compact parquet stage output can land in fewer splits than we
+        # have cores (one 300 MB file -> 3 tasks); on a real cluster the
+        # same is tuned with spark.sql.files.maxPartitionBytes. Rebalance
+        # reads to the session's parallelism before CPU-bound stages.
+        par = self.spark.sparkContext.defaultParallelism
+
         # extract: recover text from html bytes; drop the fat binary column
         if not self._stage_done("extract"):
             t0 = time.time()
             df = pages
             if cfg.langs:
                 df = df.where(F.col("lang").isin(cfg.langs))
+            if df.rdd.getNumPartitions() < par:
+                df = df.repartition(par)
             extracted = extract_text(df.drop(cfg.text_col), out_col=cfg.text_col).drop("html")
             self._write_stage("extract", extracted, t0)
         extracted = self.catalog.read("extract")
@@ -183,8 +191,11 @@ class Pipeline:
         # score: similarity vector + FS label, with reference rlr_* columns
         if not self._stage_done("score"):
             t0 = time.time()
+            pairs_in = pairs
+            if pairs_in.rdd.getNumPartitions() < par:
+                pairs_in = pairs_in.repartition(par)
             simmed = text_pair_similarity(
-                pairs, extracted, id_col=cfg.id_col, text_col=cfg.text_col
+                pairs_in, extracted, id_col=cfg.id_col, text_col=cfg.text_col
             )
             labeled = init_review_columns(
                 score_and_label(simmed, cfg.weights())

@@ -1,0 +1,104 @@
+"""Incremental ingest: stream new web pages through extract + blocking.
+
+The reference is batch-only (SURVEY.md §2.1: "no streaming of any
+kind"), but the 10^12-document target is append-heavy: new WARC drops
+arrive continuously. This module gives the pipeline's front half a
+Structured Streaming shape:
+
+  readStream(web_pages dir) -> extract text (same Arrow UDF as batch)
+  -> assign blocking keys -> append to the extract/keys tables
+
+Candidate *pair* generation stays micro-batch via ``foreachBatch``
+(joining a stream against itself for LSH buckets would need full-state
+symmetric joins; batch-joining each micro-batch's keys against the
+accumulated key table is the standard incremental-ER design and is what
+``incremental_pairs_batch`` implements).
+
+Also includes the watermarked windowed-aggregation shape over the
+events table, demonstrating late-data handling for monitoring streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rlr_spark.operators.blocking import normalized_domain
+from rlr_spark.operators.extract import _extract_udf
+
+WEB_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream over a web_pages parquet directory."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .load(input_dir)
+    )
+
+
+def extract_and_key(pages: DataFrame) -> DataFrame:
+    """Streaming-safe projection: extract text (Arrow UDF), domain key.
+    Narrow ops only — runs identically on batch and stream frames."""
+    return (
+        pages.withColumn("text", _extract_udf(F.col("html")))
+        .withColumn("blk_key", normalized_domain(F.col("url")))
+        .drop("html")
+    )
+
+
+def incremental_pairs_batch(
+    new_keys: DataFrame, accumulated_keys: DataFrame
+) -> DataFrame:
+    """One micro-batch of incremental candidate pairs: new rows vs
+    (accumulated ∪ new), canonicalized. Used inside foreachBatch, where
+    ``accumulated_keys`` is the keyed table as of the previous batch."""
+    left = new_keys.select(F.col("url").alias("l_id"), "blk_key")
+    right = (
+        accumulated_keys.select("url", "blk_key")
+        .unionByName(new_keys.select("url", "blk_key"))
+        .select(F.col("url").alias("r_id"), "blk_key")
+    )
+    return (
+        left.join(right, "blk_key")
+        .where(F.col("l_id") != F.col("r_id"))
+        .select(
+            F.least("l_id", "r_id").alias("l_id"),
+            F.greatest("l_id", "r_id").alias("r_id"),
+        )
+        .dropDuplicates(["l_id", "r_id"])
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked windowed aggregation over events(ts, event_type, value):
+    late rows beyond the watermark are dropped, state is bounded."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w, "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )

@@ -1,0 +1,99 @@
+import json
+import os
+
+import pytest
+
+from rlr_spark.datagen import VAR_SCHEMA_FIRM, generate_firm_fixtures
+from rlr_spark.sources.packet import REQUIRED_KEYS, ReviewPacket, ReviewSession
+from rlr_spark.sources.readers import read_csv, from_pandas
+from rlr_spark.sources.writers import merge_upsert, write_csv
+
+
+@pytest.fixture(scope="module")
+def packet_env(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("packet")
+    data_l, data_r, pairs = generate_firm_fixtures()
+    lp, rp, cp = str(d / "l.csv"), str(d / "r.csv"), str(d / "comps.csv")
+    data_l.to_csv(lp, index=False)
+    data_r.to_csv(rp, index=False)
+    pairs.to_csv(cp, index=False)
+    pkt = {
+        "file_L": lp,
+        "file_L_ids": ["ein"],
+        "file_R": rp,
+        "file_R_ids": ["ui_num"],
+        "file_comps": cp,
+        "var_group_schema": VAR_SCHEMA_FIRM,
+        "label_choices": ["Match", "Not a Match", "Maybe a Match"],
+        "curr_comp_pair_index": 2,
+    }
+    pkt_path = str(d / "packet.json")
+    with open(pkt_path, "w") as f:
+        json.dump(pkt, f)
+    return pkt_path, d
+
+
+def test_packet_roundtrip(packet_env):
+    pkt_path, d = packet_env
+    p = ReviewPacket.load(pkt_path)
+    assert p.curr_comp_pair_index == 2
+    out = str(d / "packet2.json")
+    p.save(out)
+    assert ReviewPacket.load(out).file_L == p.file_L
+
+
+def test_packet_missing_key_asserts(packet_env, tmp_path):
+    pkt_path, _ = packet_env
+    with open(pkt_path) as f:
+        d = json.load(f)
+    del d["label_choices"]  # required by rlr.py:213-216 despite docs
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump(d, f)
+    with pytest.raises(AssertionError):
+        ReviewPacket.load(bad)
+
+
+def test_review_session_loads_and_flags(spark, packet_env):
+    pkt_path, _ = packet_env
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # duplicate pair + coverage warnings
+        sess = ReviewSession(spark, ReviewPacket.load(pkt_path))
+    assert sess.pairs.count() == 9
+    assert 0 < sess.coverage < 1  # the 999 pair is missing from L
+    assert "rlr_label" in sess.pairs.columns
+
+
+def test_review_session_rejects_overlapping_ids(spark, packet_env, tmp_path):
+    pkt_path, _ = packet_env
+    p = ReviewPacket.load(pkt_path)
+    p.file_R_ids = ["ein"]
+    with pytest.raises(AssertionError, match="Overlap"):
+        ReviewSession(spark, p)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    data_l, _, _ = generate_firm_fixtures()
+    df = from_pandas(spark, data_l)
+    out = str(tmp_path / "out_csv")
+    write_csv(df, out)
+    back = read_csv(spark, out, infer=True)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+
+def test_merge_upsert_parquet(spark, tmp_path):
+    from rlr_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "", ""), (2, "", ""), (3, "x", "")],
+        "id long, rlr_label string, rlr_note string",
+    )
+    cat.write(base, "pairs")
+    upd = spark.createDataFrame([(1, "Match")], "id long, rlr_label string")
+    merge_upsert(cat, "pairs", upd, ["id"], ["rlr_label"])
+    rows = {r.id: r.rlr_label for r in cat.read("pairs").collect()}
+    assert rows == {1: "Match", 2: "", 3: "x"}

@@ -1,0 +1,88 @@
+"""Structured Streaming smoke: memory sink + processAllAvailable drives
+file-source micro-batches to completion synchronously."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from rlr_spark.streaming.ingest import (
+    extract_and_key,
+    incremental_pairs_batch,
+    stream_pages,
+    windowed_event_counts,
+)
+
+
+def test_stream_extract_and_key(spark, tmp_path, web_pages_small):
+    pages, _ = web_pages_small
+    src = str(tmp_path / "stream_src")
+    pages.limit(60).write.parquet(src)
+
+    out = extract_and_key(stream_pages(spark, src))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stream_pages_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM stream_pages_out")
+    assert got.count() == 60
+    assert {"url", "text", "blk_key", "lang"} <= set(got.columns)
+    # extraction in the stream matches the batch text byte-for-byte
+    joined = got.select("url", F.col("text").alias("stream_text")).join(
+        pages.select("url", "text"), "url"
+    )
+    assert joined.where(F.col("stream_text") != F.col("text")).count() == 0
+
+
+def test_incremental_pairs_batch(spark):
+    acc = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k2")], "url string, blk_key string"
+    )
+    new = spark.createDataFrame([("d", "k1"), ("e", "k9")], "url string, blk_key string")
+    got = {(r.l_id, r.r_id) for r in incremental_pairs_batch(new, acc).collect()}
+    # new node d pairs with existing k1 members only; e has no partner
+    assert got == {("a", "d"), ("b", "d")}
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    events = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:30", "click", 1.0),
+            ("2024-01-01 00:01:10", "click", 2.0),
+            ("2024-01-01 00:07:00", "view", 5.0),
+        ],
+        "ts_s string, event_type string, value double",
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("ts timestamp, event_type string, value double")
+        .load(src)
+    )
+    agg = windowed_event_counts(stream, window="5 minutes")
+    # complete mode so a single static micro-batch emits all windows;
+    # append mode would wait for the watermark to pass a window's end,
+    # which a one-batch file source never advances far enough for
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("event_counts_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (str(r.window_start), r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM event_counts_out").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 00:05:00", "view")] == (1, 5.0)
