@@ -281,6 +281,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("lev_sim"),
         )
 
+    # -- C2b: Jaro-Winkler (batched Arrow pandas UDF; matches DuckDB's
+    #         jaro_winkler_similarity exactly — verified) --------------------
+    def c2_jaro_winkler(spark, sf_dir):
+        from rlr_spark.functions.similarity import jaro_winkler
+
+        p = _doc_pairs_same_source(spark, sf_dir).where(
+            (F.col("l_id") % 7 == 0) & (F.col("r_id") % 7 == 0)
+        )
+        return p.select(
+            "l_id",
+            "r_id",
+            F.round(jaro_winkler(F.col("l_text"), F.col("r_text"), cap=64), 6).alias(
+                "jw_sim"
+            ),
+        )
+
     # -- C3: Fellegi-Sunter score + label trichotomy --------------------------
     def c3_fs_score(spark, sf_dir):
         return _fs_scored_pairs(spark, sf_dir)
@@ -423,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_grouped_projection": j2_grouped_projection,
         "c1_exact_match": c1_exact_match,
         "c2_similarity": c2_similarity,
+        "c2_jaro_winkler": c2_jaro_winkler,
         "c3_fs_score": c3_fs_score,
         "n2_next_unlabeled": n2_next_unlabeled,
         "p1_dense_pair_id": p1_dense_pair_id,
@@ -552,6 +569,14 @@ def oracle_sql() -> dict[str, str]:
                                    / greatest(length(substr(trim(lower(l_text)), 1, 60)),
                                               length(substr(trim(lower(r_text)), 1, 60)))::DOUBLE
                           END, 6) AS lev_sim
+            FROM pairs WHERE l_id % 7 = 0 AND r_id % 7 = 0
+        """,
+        "c2_jaro_winkler": f"""
+            WITH pairs AS ({_PAIR_SQL})
+            SELECT l_id, r_id,
+                   round(jaro_winkler_similarity(lower(trim(substr(l_text, 1, 64))),
+                                                 lower(trim(substr(r_text, 1, 64)))), 6)
+                     AS jw_sim
             FROM pairs WHERE l_id % 7 = 0 AND r_id % 7 = 0
         """,
         "c3_fs_score": _FS_SQL,

@@ -51,8 +51,18 @@ def levenshtein_sim(l: Column, r: Column, max_len: int = 200) -> Column:
 # Jaro-Winkler (no Spark built-in): batched Arrow UDF
 # ---------------------------------------------------------------------------
 
-def jaro_winkler_py(s1: str | None, s2: str | None, prefix_scale: float = 0.1) -> float:
-    """Standard Jaro-Winkler similarity (Winkler 1990), plain Python."""
+def jaro_winkler_py(
+    s1: str | None,
+    s2: str | None,
+    prefix_scale: float = 0.1,
+    boost_threshold: float = 0.7,
+) -> float:
+    """Standard Jaro-Winkler similarity (Winkler 1990), plain Python.
+
+    Matches DuckDB's ``jaro_winkler_similarity`` exactly (verified):
+    integer-halved transpositions, and the prefix boost applied only
+    when the Jaro score exceeds the 0.7 boost threshold.
+    """
     if s1 is None or s2 is None:
         return 0.0
     if s1 == s2:
@@ -86,8 +96,12 @@ def jaro_winkler_py(s1: str | None, s2: str | None, prefix_scale: float = 0.1) -
             if s1[i] != s2[k]:
                 transpositions += 1
             k += 1
-    t = transpositions / 2
+    # Winkler's original code halves the mismatch count with *integer*
+    # division (so do Apache Commons and DuckDB's jaro_winkler_similarity)
+    t = transpositions // 2
     jaro = (matches / len1 + matches / len2 + (matches - t) / matches) / 3
+    if jaro <= boost_threshold:
+        return jaro
     prefix = 0
     for a, b in zip(s1[:4], s2[:4]):
         if a == b:

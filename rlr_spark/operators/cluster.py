@@ -92,6 +92,19 @@ def connected_components(
     result back with a coalesce to self (see :func:`cluster_pairs`).
     """
     cur = _canonical(edges).localCheckpoint(eager=True)
+    spark = cur.sparkSession
+
+    # The fixpoint loop is latency-bound, not throughput-bound: each star
+    # round is a shuffle over the (shrinking) edge set, and at web scale
+    # the match-edge set is orders of magnitude smaller than the pair
+    # table. Size the loop's shuffle parallelism to the data instead of
+    # inheriting the pair-stage setting — hundreds of near-empty reduce
+    # tasks per round dominate wall-clock otherwise.
+    n_edges = cur.count()
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_sp = max(1, min(int(old_sp), n_edges // 200_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+
     prev_fp: tuple[int, int] | None = None
     for i in range(max_iter):
         nxt = _small_star(_large_star(cur))
@@ -103,6 +116,8 @@ def connected_components(
             break
         prev_fp = fp
         cur = nxt
+
+    spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     # converged: star graphs, every edge points member -> component min
     members = cur.select(F.col("u").alias("node"), F.col("v").alias("entity_id"))

@@ -40,6 +40,10 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             pkg_root + (os.pathsep + existing if existing else "")
         )
+    extra_conf = dict(extra_conf or {})
+    # local-cluster / standalone executors are separate JVMs whose Python
+    # workers don't inherit the driver env — ship the path explicitly
+    extra_conf.setdefault("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     cores = _master_cores(master)
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 4)
@@ -60,7 +64,16 @@ def get_spark(
         # binary html columns can make fat rows; keep broadcasts conservative
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    for k, v in (extra_conf or {}).items():
+    # shuffle spill dir: prefer tmpfs when present (the local analogue of
+    # pointing spark.local.dir at executor-local NVMe on a real cluster);
+    # override with RLR_LOCAL_DIR, opt out with RLR_LOCAL_DIR="".
+    local_dir = os.environ.get("RLR_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/rlr_spark_local"
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
+    for k, v in extra_conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
