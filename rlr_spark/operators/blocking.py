@@ -176,7 +176,9 @@ def block_pairs(
     right = keyed.select(
         F.col(key_col),
         F.col(id_col).alias("r_id"),
-        F.explode(F.sequence(F.lit(0), F.lit(salt_k - 1))).alias("_salt"),
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt_k - 1).cast("long"))).alias(
+            "_salt"
+        ),
     )
     pairs = (
         left.join(right, [key_col, "_salt"])

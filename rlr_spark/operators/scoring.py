@@ -96,6 +96,74 @@ def score_and_label(df: DataFrame, weights: FSWeights) -> DataFrame:
     return fs_label(fs_score(df, weights), weights)
 
 
+def estimate_mu_em(
+    pairs: DataFrame,
+    metric_cols: list[str],
+    agree_threshold: float = 0.8,
+    n_iter: int = 20,
+    init_p_match: float = 0.1,
+    tol: float = 1e-6,
+) -> tuple[dict[str, tuple[float, float]], float]:
+    """Unsupervised m/u via EM over agreement *patterns* (Winkler 1988).
+
+    The driver-side loop runs over the tiny pattern-contingency table
+    (≤ 2^|fields| rows), not the pair table: one Spark aggregation
+    compresses the pairs to pattern counts, then EM iterates in plain
+    Python. Returns ({col: (m, u)}, p_match).
+    """
+    agree_cols = [
+        (F.col(c) >= F.lit(agree_threshold)).cast("int").alias(f"_a_{c}")
+        for c in metric_cols
+    ]
+    patterns = (
+        pairs.select(*agree_cols)
+        .groupBy(*[f"_a_{c}" for c in metric_cols])
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    )
+    rows = [([int(r[f"_a_{c}"]) for c in metric_cols], int(r["_n"])) for r in patterns]
+    total = sum(n for _, n in rows)
+
+    k = len(metric_cols)
+    m = [0.9] * k
+    u = [0.1] * k
+    p = init_p_match
+    prev_ll = None
+    for _ in range(n_iter):
+        # E-step: P(match | pattern)
+        resp = []
+        ll = 0.0
+        for bits, n in rows:
+            pm = p
+            pu = 1 - p
+            for j in range(k):
+                pm *= m[j] if bits[j] else (1 - m[j])
+                pu *= u[j] if bits[j] else (1 - u[j])
+            denom = pm + pu
+            g = pm / denom if denom > 0 else 0.5
+            resp.append(g)
+            ll += n * math.log(max(denom, 1e-300))
+        # M-step
+        w_match = sum(g * n for g, (_, n) in zip(resp, rows))
+        if w_match <= 0 or w_match >= total:
+            break
+        p = w_match / total
+        for j in range(k):
+            num_m = sum(g * n for g, (bits, n) in zip(resp, rows) if bits[j])
+            num_u = sum((1 - g) * n for g, (bits, n) in zip(resp, rows) if bits[j])
+            m[j] = min(max(num_m / w_match, _EPS), 1 - _EPS)
+            u[j] = min(max(num_u / (total - w_match), _EPS), 1 - _EPS)
+        if prev_ll is not None and abs(ll - prev_ll) < tol * abs(prev_ll):
+            break
+        prev_ll = ll
+
+    # canonical orientation: agreement should indicate match (m > u);
+    # EM's two-component labeling is symmetric, flip if it converged upside down
+    if sum(m) < sum(u):
+        m, u, p = u, m, 1 - p
+    return {c: (m[j], u[j]) for j, c in enumerate(metric_cols)}, p
+
+
 def estimate_mu(
     labeled: DataFrame,
     metric_cols: list[str],

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from rlr_spark import LABEL_MATCH
 from rlr_spark.catalog import Catalog
 from rlr_spark.operators.blocking import candidate_pairs
-from rlr_spark.operators.cluster import cluster_pairs
+from rlr_spark.operators.cluster import connected_components
 from rlr_spark.operators.compare import text_pair_similarity
 from rlr_spark.operators.extract import extract_text
 from rlr_spark.operators.review import init_review_columns
@@ -158,7 +158,12 @@ class Pipeline:
         # reads to the session's parallelism before CPU-bound stages.
         par = self.spark.sparkContext.defaultParallelism
 
-        # extract: recover text from html bytes; drop the fat binary column
+        # extract: recover text from html bytes; drop the fat binary column.
+        # Also mint ``uid = xxhash64(url)`` — every downstream shuffle keys
+        # on 8-byte longs instead of ~100-byte urls (at 10^12 rows the url
+        # would dominate shuffle volume). 64-bit collisions are checked
+        # below; a deployment at full 10^12 scale would widen to two
+        # hashes (128 bits) or a dictionary table.
         if not self._stage_done("extract"):
             t0 = time.time()
             df = pages
@@ -166,17 +171,30 @@ class Pipeline:
                 df = df.where(F.col("lang").isin(cfg.langs))
             if df.rdd.getNumPartitions() < par:
                 df = df.repartition(par)
-            extracted = extract_text(df.drop(cfg.text_col), out_col=cfg.text_col).drop("html")
+            extracted = (
+                extract_text(df.drop(cfg.text_col), out_col=cfg.text_col)
+                .drop("html")
+                .withColumn("uid", F.xxhash64(F.col(cfg.id_col)))
+            )
             self._write_stage("extract", extracted, t0)
+            ex = self.catalog.read("extract")
+            counts = ex.agg(
+                F.count("*").alias("n"), F.countDistinct("uid").alias("nu")
+            ).collect()[0]
+            if counts.n != counts.nu:
+                raise RuntimeError(
+                    f"uid hash collision: {counts.n} rows, {counts.nu} distinct uids"
+                )
         extracted = self.catalog.read("extract")
 
-        # pairs: multi-pass blocking, salted, capped, deduped
+        # pairs: multi-pass blocking, salted, capped, deduped — keyed on uid
         if not self._stage_done("pairs"):
             t0 = time.time()
             pairs, stats = candidate_pairs(
                 extracted,
-                id_col=cfg.id_col,
+                id_col="uid",
                 text_col=cfg.text_col,
+                url_col=cfg.id_col,
                 salt_k=cfg.salt_k,
                 max_block_size=cfg.max_block_size,
                 lsh_bands=cfg.lsh_bands,
@@ -195,7 +213,7 @@ class Pipeline:
             if pairs_in.rdd.getNumPartitions() < par:
                 pairs_in = pairs_in.repartition(par)
             simmed = text_pair_similarity(
-                pairs_in, extracted, id_col=cfg.id_col, text_col=cfg.text_col
+                pairs_in, extracted, id_col="uid", text_col=cfg.text_col
             )
             labeled = init_review_columns(
                 score_and_label(simmed, cfg.weights())
@@ -203,12 +221,28 @@ class Pipeline:
             self._write_stage("score", labeled, t0)
         scored = self.catalog.read("score")
 
-        # cluster: transitive closure of Match pairs over all extracted ids
+        # cluster: transitive closure of Match pairs over all extracted ids.
+        # Edges are already longs (uid) — connected components runs on
+        # 16-byte edges; urls only rejoin for the final output table.
         if not self._stage_done("cluster"):
             t0 = time.time()
-            matches = scored.where(F.col("rlr_label") == LABEL_MATCH).select("l_id", "r_id")
-            clusters = cluster_pairs(
-                matches, extracted.select(cfg.id_col), id_col=cfg.id_col
+            edges = scored.where(F.col("rlr_label") == LABEL_MATCH).select(
+                F.col("l_id").alias("u"), F.col("r_id").alias("v")
+            )
+            assign = connected_components(edges)
+            ids = extracted.select("uid", cfg.id_col)
+            clusters = (
+                ids.join(assign, ids["uid"] == assign["node"], "left")
+                .select(
+                    cfg.id_col,
+                    F.coalesce(F.col("entity_id"), F.col("uid")).alias("entity_id"),
+                )
+            )
+            min_key = clusters.groupBy("entity_id").agg(
+                F.min(cfg.id_col).alias("entity_key")
+            )
+            clusters = clusters.join(min_key, "entity_id").select(
+                cfg.id_col, "entity_id", "entity_key"
             )
             self._write_stage("cluster", clusters, t0)
         clusters = self.catalog.read("cluster")

@@ -1,0 +1,108 @@
+"""Physical-plan hygiene: the properties that decide 100 TB viability.
+
+These are regression tests against plan rot — a filter that stops
+pushing down, a broadcast that silently flips to sort-merge, a stage
+that grows an unnecessary Exchange. Each assertion names the scale
+property it protects.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory, web_pages_small):
+    """Materialized extract + pairs tables, like a real inter-stage read."""
+    import os
+
+    from rlr_spark.catalog import Catalog
+    from rlr_spark.pipeline import Pipeline, PipelineConfig
+
+    pages, _ = web_pages_small
+    root = str(tmp_path_factory.mktemp("plans_wh"))
+    pipe = Pipeline(spark, Catalog(spark, root), PipelineConfig(salt_k=2, max_block_size=None))
+    out = pipe.run(pages)
+    return pipe.catalog
+
+
+def test_extract_has_no_shuffle(spark, web_pages_small):
+    """Extraction is embarrassingly parallel: no Exchange in the plan."""
+    from rlr_spark.operators.extract import extract_text
+
+    pages, _ = web_pages_small
+    plan = _plan(extract_text(pages.drop("text")))
+    assert "Exchange" not in plan
+
+
+def test_score_scan_prunes_columns(spark, staged):
+    """The similarity join must read only (url, text) from the extract
+    table — dragging warc_ts/lang into a 10^12-pair join is real money."""
+    from rlr_spark.operators.compare import text_pair_similarity
+
+    extract = staged.read("extract")
+    pairs = staged.read("pairs")
+    plan = _plan(text_pair_similarity(pairs, extract, id_col="uid"))
+    for rs in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in rs.split(",") if c}
+        assert cols <= {"uid", "text", "l_id", "r_id"}, plan
+
+
+def test_score_uses_hash_join_not_nested_loop(spark, staged):
+    from rlr_spark.operators.compare import text_pair_similarity
+
+    plan = _plan(
+        text_pair_similarity(staged.read("pairs"), staged.read("extract"), id_col="uid")
+    )
+    assert "HashJoin" in plan  # broadcast or shuffled — never NestedLoop/Cartesian
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_filter_pushdown_to_parquet(spark, staged):
+    extract = staged.read("extract").where(F.col("lang") == "en").select("url")
+    plan = _plan(extract)
+    assert re.search(r"PushedFilters: \[.*EqualTo\(lang,en\)", plan), plan
+
+
+def test_existence_flags_no_python_udf(spark, staged):
+    """The V3 semi-join replacement must stay JVM-side (the reference's
+    per-row Python probe is the anti-pattern we replaced)."""
+    from rlr_spark.operators.review import existence_flags, init_review_columns
+
+    pairs = init_review_columns(staged.read("pairs"))
+    extract = staged.read("extract")
+    flagged = existence_flags(
+        pairs, extract, extract, "uid", "uid", l_pair_col="l_id", r_pair_col="r_id"
+    )
+    plan = _plan(flagged)
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_blocking_pairs_partition_by_key_and_salt(spark, staged):
+    """The salted self-join must key its exchange on (blk_key, salt) so a
+    hot block spreads across reducers."""
+    from rlr_spark.operators.blocking import block_pairs, with_domain_key
+
+    keyed = with_domain_key(staged.read("extract")).select("url", "blk_key")
+    pairs, _ = block_pairs(keyed, "url", salt_k=4, max_block_size=None)
+    plan = _plan(pairs)
+    # the pair join's keys must include the salt (AQE may turn the
+    # physical exchange into a broadcast at toy sizes, but the join
+    # contract — and hence the at-scale partitioning — is (key, salt))
+    assert re.search(r"Join \[blk_key#\d+, _salt", plan), plan
+
+
+def test_whole_stage_codegen_covers_similarity(spark, staged):
+    from rlr_spark.operators.compare import text_pair_similarity
+
+    df = text_pair_similarity(staged.read("pairs"), staged.read("extract"), id_col="uid")
+    # collect() executes *this* plan object, finalizing its adaptive plan;
+    # codegen spans then appear as "*(n)" node prefixes
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan and "*(" in plan, plan

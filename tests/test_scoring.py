@@ -50,3 +50,31 @@ def test_estimate_mu(spark):
     m, u = mu["sim"]
     assert math.isclose(m, 2 / 3, abs_tol=1e-9)
     assert math.isclose(u, 1 / 4, abs_tol=1e-9)
+
+
+def test_estimate_mu_em_recovers_planted(spark):
+    """EM over agreement patterns recovers m >> u on a mixture where 10%
+    of pairs are matches that mostly agree and 90% are nonmatches that
+    mostly disagree (two correlated fields)."""
+    import numpy as np
+
+    from rlr_spark.operators.scoring import estimate_mu_em
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for _ in range(5000):
+        is_match = rng.random_sample() < 0.1
+        if is_match:
+            s1 = 1.0 if rng.random_sample() < 0.95 else 0.0
+            s2 = 1.0 if rng.random_sample() < 0.85 else 0.0
+        else:
+            s1 = 1.0 if rng.random_sample() < 0.05 else 0.0
+            s2 = 1.0 if rng.random_sample() < 0.15 else 0.0
+        rows.append((s1, s2))
+    df = spark.createDataFrame(rows, "s1 double, s2 double")
+    mu, p = estimate_mu_em(df, ["s1", "s2"], agree_threshold=0.5)
+    assert 0.05 < p < 0.2
+    m1, u1 = mu["s1"]
+    m2, u2 = mu["s2"]
+    assert m1 > 0.8 and u1 < 0.15
+    assert m2 > 0.7 and u2 < 0.25
