@@ -1,0 +1,50 @@
+"""Inspect physical plans for the properties that matter at 100 TB.
+
+Used by tests/test_plans.py and handy interactively:
+
+    from rlr_spark.plans import physical_plan, read_schemas
+    print(physical_plan(df))
+    assert read_schemas(df) == [{"url", "text"}]
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame, execute: bool = False) -> str:
+    """The physical plan string. ``execute=True`` runs the frame first so
+    the adaptive plan is final and codegen spans (``*(n)``) are visible."""
+    if execute:
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+
+
+def read_schemas(df: DataFrame) -> list[set[str]]:
+    """Column sets each file scan actually reads (column-pruning check)."""
+    plan = physical_plan(df)
+    out = []
+    for rs in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        out.append({c.split(":")[0] for c in rs.split(",") if c})
+    return out
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of each scan (predicate-pushdown check)."""
+    plan = physical_plan(df)
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def has_python_udf(df: DataFrame) -> bool:
+    plan = physical_plan(df)
+    return "PythonUDF" in plan or "BatchEvalPython" in plan or "ArrowEvalPython" in plan
+
+
+def join_kinds(df: DataFrame) -> list[str]:
+    plan = physical_plan(df)
+    return re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
+        plan,
+    )

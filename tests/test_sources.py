@@ -97,3 +97,17 @@ def test_merge_upsert_parquet(spark, tmp_path):
     merge_upsert(cat, "pairs", upd, ["id"], ["rlr_label"])
     rows = {r.id: r.rlr_label for r in cat.read("pairs").collect()}
     assert rows == {1: "Match", 2: "", 3: "x"}
+
+
+def test_stata_roundtrip(spark, tmp_path):
+    """S2/S5: .dta side channel (reference rlr.py:68,693) — small-file only."""
+    from rlr_spark.sources.readers import read_stata
+    from rlr_spark.sources.writers import write_stata
+
+    data_l, _, _ = generate_firm_fixtures()
+    df = from_pandas(spark, data_l)
+    path = str(tmp_path / "firm.dta")
+    write_stata(df, path)
+    back = read_stata(spark, path)
+    assert back.count() == df.count()
+    assert set(back.columns) >= set(df.columns)
