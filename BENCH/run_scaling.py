@@ -44,11 +44,16 @@ out["cluster"].count()
 wall = time.time() - t0
 scored = pipe.read_manifest("score")["rows"]
 stages = {{s: pipe.read_manifest(s)["duration_sec"] for s in ["extract","pairs","score","cluster"]}}
+# correctness at bench scale (outside the timed window)
+from rlr_spark.pipeline import pairwise_f1
+truth = spark.read.parquet(os.path.join(corpus, "truth.parquet"))
+f1 = pairwise_f1(out["cluster"], truth)
 print("RESULT " + json.dumps({{"cpus": cpus, "executors": n_exec, "cores_per_exec": cores,
       "wall_sec": round(wall,2),
       "scored_pairs": scored, "pairs_per_sec": round(scored/wall,1),
       "score_stage_sec": stages["score"],
       "score_pairs_per_sec": round(scored/stages["score"],1),
+      "f1": round(f1["f1"], 5),
       "stages": stages}}))
 """
 
@@ -125,6 +130,10 @@ literally — 1 executor vs 4 executors at equal cores-per-executor.
 
 **Scaling efficiency (score stage — the metric's scored-pairs/sec)** =
 ({hi['score_pairs_per_sec']:,} / {lo['score_pairs_per_sec']:,}) / 4 = **{r['efficiency_score_stage']}**
+
+**Pairwise F1 vs planted truth at this scale** (identical at both
+parallelism levels — parallelism never changes results):
+{lo.get('f1', 'n/a')} (1 executor), {hi.get('f1', 'n/a')} (4 executors).
 
 Stage breakdown (seconds):
 
