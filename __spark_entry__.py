@@ -87,10 +87,32 @@ _W2_A, _W2_D = 1.5849625007211562, -2.807354922057604  # log2(.9/.3), log2(.1/.7
 
 
 def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rlr_spark.functions.similarity import token_jaccard
+    # tokenize each document once (O(docs)), join the token arrays, and
+    # compute jaccard with a single per-pair intersection — semantically
+    # identical to token_jaccard(l_text, r_text) (and to the DuckDB
+    # oracle), but ~20x cheaper at sf0.1's 622k same-source pairs
+    from rlr_spark.functions.similarity import norm_tokens
 
-    p = _doc_pairs_same_source(spark, sf_dir)
-    jac = token_jaccard(F.col("l_text"), F.col("r_text"))
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        norm_tokens(F.col("text")).alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    a = d.select(
+        F.col("doc_id").alias("l_id"), "source",
+        F.col("_toks").alias("_lt"), F.col("_n").alias("_ln"),
+        F.col("lang").alias("l_lang"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("r_id"), "source",
+        F.col("_toks").alias("_rt"), F.col("_n").alias("_rn"),
+        F.col("lang").alias("r_lang"),
+    )
+    p = a.join(b, "source").where(F.col("l_id") < F.col("r_id"))
+    inter = F.size(F.array_intersect(F.col("_lt"), F.col("_rt"))).cast("double")
+    union = (F.col("_ln") + F.col("_rn")).cast("double") - inter
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
     agree1 = jac >= 0.5
     agree2 = F.col("l_lang") == F.col("r_lang")
     score = (

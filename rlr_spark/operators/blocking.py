@@ -147,7 +147,9 @@ def block_pairs(
     # upstream (e.g. the 48-permutation minhash) each time
     keyed = keyed.persist()
 
-    sizes = keyed.groupBy(key_col).agg(F.count("*").alias("_blk_n"))
+    # sizes feeds both the stats collect and the kept-keys join — persist
+    # so the groupBy shuffle over the keyed relation happens once
+    sizes = keyed.groupBy(key_col).agg(F.count("*").alias("_blk_n")).persist()
     if max_block_size is not None:
         kept_keys = sizes.where(F.col("_blk_n") <= max_block_size)
         agg = sizes.agg(
@@ -184,6 +186,9 @@ def block_pairs(
         left.join(right, [key_col, "_salt"])
         .where(F.col("l_id") < F.col("r_id"))
         .select("l_id", "r_id")
+        # a pair sharing several keys (e.g. colliding in many LSH bands)
+        # would otherwise appear once per key — canonicalize here
+        .dropDuplicates(["l_id", "r_id"])
     )
     return pairs, stats
 
@@ -207,16 +212,20 @@ def candidate_pairs(
     (SURVEY.md §1.3: determinism at scale).
     """
     domain_keyed = pages.select(
-        F.col(id_col), normalized_domain(F.col(url_col)).alias("blk_key")
-    )
-    p1, s1 = block_pairs(
-        domain_keyed, id_col, salt_k=salt_k, max_block_size=max_block_size, pass_name="domain"
+        F.col(id_col),
+        F.concat(F.lit("d:"), normalized_domain(F.col(url_col))).alias("blk_key"),
     )
     lsh_keyed = lsh_band_keys(
         pages, id_col, text_col, shingle_k=shingle_k, bands=lsh_bands, rows_per_band=lsh_rows
+    ).select(F.col(id_col), F.concat(F.lit("l:"), F.col("blk_key")).alias("blk_key"))
+
+    # ONE salted self-join over the namespaced union of both passes'
+    # keys: the "d:"/"l:" prefixes keep the key spaces disjoint, so a
+    # single shuffle + dedup replaces two pass-local joins plus a
+    # cross-pass union-dedup — at 4 executors the serial job chain was
+    # costing more than the pair computation itself.
+    keyed = domain_keyed.unionByName(lsh_keyed)
+    pairs, stats = block_pairs(
+        keyed, id_col, salt_k=salt_k, max_block_size=max_block_size, pass_name="domain+lsh"
     )
-    p2, s2 = block_pairs(
-        lsh_keyed, id_col, salt_k=salt_k, max_block_size=max_block_size, pass_name="lsh"
-    )
-    pairs = p1.unionByName(p2).dropDuplicates(["l_id", "r_id"])
-    return pairs, [s1, s2]
+    return pairs, [stats]

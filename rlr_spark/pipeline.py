@@ -106,15 +106,24 @@ class Pipeline:
         """Materialize + manifest + per-partition metrics (lineage table)."""
         self.catalog.write(df, stage)
         out = self.catalog.read(stage)
-        part_counts = (
+        # one pass computes the per-partition lineage counts AND the total:
+        # the tiny aggregate is collected, re-uploaded, and written as the
+        # metrics table driver-side (a separate count() job per stage was
+        # pure fixed cost at high executor counts)
+        part_rows = (
             out.withColumn("_pid", F.spark_partition_id())
             .groupBy("_pid")
             .agg(F.count("*").alias("rows"))
+            .collect()
         )
+        metrics_pdf = [(int(r._pid), int(r.rows), stage) for r in part_rows]
         self.catalog.write(
-            part_counts.withColumn("stage", F.lit(stage)), f"{stage}_metrics"
+            self.spark.createDataFrame(
+                metrics_pdf or [(0, 0, stage)], "_pid int, rows bigint, stage string"
+            ),
+            f"{stage}_metrics",
         )
-        rows = out.count()
+        rows = sum(r.rows for r in part_rows)
         manifest = {
             "stage": stage,
             "status": "complete",
