@@ -135,11 +135,19 @@ def block_pairs(
     key_col: str = "blk_key",
     salt_k: int = 4,
     max_block_size: int | None = 10_000,
+    salt_threshold: int = 512,
     pass_name: str = "block",
 ) -> tuple[DataFrame, BlockStats]:
     """Canonical candidate pairs (l_id < r_id) within each blocking key.
 
     ``keyed``: (id_col, key_col[, ...]). Returns (pairs(l_id, r_id), stats).
+
+    Salting is *adaptive*: replicating the probe side ``salt_k``-fold is
+    pure shuffle overhead for the long tail of tiny blocks, so only
+    blocks larger than ``salt_threshold`` rows get the full salt grid —
+    the rest join on salt 0. The logical pair set is identical either
+    way (invariance tested); only the hot keys pay for, and benefit
+    from, the spread.
     """
     keyed = keyed.select(id_col, key_col).where(F.col(key_col).isNotNull())
     # the keyed relation is consumed by three jobs (sizes agg, stats
@@ -167,20 +175,26 @@ def block_pairs(
         kept_keys = sizes.where(F.col("_blk_n") >= 2)
         stats = BlockStats(pass_name, -1, 0, 0)
 
-    keyed = keyed.join(kept_keys.select(key_col), key_col, "inner")
+    keyed = keyed.join(
+        kept_keys.select(key_col, "_blk_n"), key_col, "inner"
+    ).withColumn(
+        "_k",
+        F.when(F.col("_blk_n") > salt_threshold, F.lit(salt_k)).otherwise(F.lit(1)),
+    )
 
-    # build side: one deterministic salt per row; probe side: replicated K ways
+    # build side: one deterministic salt per row; probe side: replicated
+    # _k ways (_k = 1 for the long tail of small blocks)
     left = keyed.select(
         F.col(key_col),
         F.col(id_col).alias("l_id"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_k)).alias("_salt"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("_k").cast("long")).alias("_salt"),
     )
     right = keyed.select(
         F.col(key_col),
         F.col(id_col).alias("r_id"),
-        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(salt_k - 1).cast("long"))).alias(
-            "_salt"
-        ),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (F.col("_k") - 1).cast("long"))
+        ).alias("_salt"),
     )
     pairs = (
         left.join(right, [key_col, "_salt"])

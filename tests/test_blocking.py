@@ -112,3 +112,21 @@ def test_candidate_pairs_connect_planted_clusters(web_pages_small):
     n_true = true_pairs.count()
     n_hit = true_pairs.join(pairs, ["l_id", "r_id"], "left_semi").count()
     assert n_hit / n_true > 0.85
+
+
+def test_adaptive_salt_invariance_mixed_sizes(spark):
+    """Pair set identical whether blocks are below or above the salt
+    threshold — salting is physical only (small blocks skip the grid)."""
+    rows = [(f"h{i}", "hot") for i in range(40)] + [("c1", "cold"), ("c2", "cold")]
+    keyed = spark.createDataFrame(rows, "id string, blk_key string")
+    base = None
+    for thr, k in [(1000, 1), (10, 4), (10, 16), (1, 8)]:
+        pairs, _ = block_pairs(
+            keyed, "id", salt_k=k, max_block_size=None, salt_threshold=thr
+        )
+        got = frozenset((r.l_id, r.r_id) for r in pairs.collect())
+        if base is None:
+            base = got
+            assert len(base) == 40 * 39 // 2 + 1
+        else:
+            assert got == base, (thr, k)
