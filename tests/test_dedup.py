@@ -73,3 +73,34 @@ def test_ngram_dup_pairs(spark):
     assert math.isclose(got[(1, 2)], 1.0, abs_tol=1e-9)
     assert (1, 3) in got
     assert (1, 4) not in got
+
+
+def test_minhash_recall_vs_bruteforce(spark, web_pages_small):
+    """Cross-validate the LSH path against brute force: every emitted
+    pair truly has jaccard >= threshold (precision 1.0 by construction),
+    and recall vs the exhaustive pair set is high."""
+    from rlr_spark.functions.similarity import token_jaccard
+
+    pages, _ = web_pages_small
+    docs = pages.select(F.col("url").alias("doc_id"), "text")
+
+    got = {
+        (r.l_id, r.r_id)
+        for r in minhash_dup_pairs(
+            docs, id_col="doc_id", jaccard_threshold=0.7, max_block_size=None
+        ).collect()
+    }
+
+    a = docs.select(F.col("doc_id").alias("l_id"), F.col("text").alias("lt"))
+    b = docs.select(F.col("doc_id").alias("r_id"), F.col("text").alias("rt"))
+    brute = (
+        a.crossJoin(b)
+        .where(F.col("l_id") < F.col("r_id"))
+        .withColumn("j", token_jaccard(F.col("lt"), F.col("rt")))
+        .where(F.col("j") >= 0.7)
+    )
+    want = {(r.l_id, r.r_id) for r in brute.select("l_id", "r_id").collect()}
+
+    assert got <= want  # no false positives (verified by true jaccard)
+    assert len(want) > 30
+    assert len(got & want) / len(want) >= 0.95  # LSH recall
