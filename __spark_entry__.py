@@ -438,6 +438,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents")
         return simhash_dup_pairs(d, max_hamming=8)
 
+    def emb_ann_ivf(spark, sf_dir):
+        from rlr_spark.functions.embeddings import ivf_topk, train_ivf_centroids
+
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        q = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        centroids = train_ivf_centroids(e, k=8, n_iter=2)
+        return ivf_topk(e, q, centroids, k=5, n_probe=3).select(
+            "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
+        )
+
     def emb_ann_lsh(spark, sf_dir):
         e = _t(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -477,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "emb_ann_lsh": emb_ann_lsh,
+        "emb_ann_ivf": emb_ann_ivf,
     }
 
 

@@ -52,6 +52,9 @@ class PipelineConfig:
     upper: float = 2.0
     lower: float = 0.0
     langs: list[str] | None = None  # optional language filter
+    # "fixed" uses (m_text, u_text); "em" fits m/u unsupervised from the
+    # similarity agreement patterns (scoring.estimate_mu_em) before labeling
+    weights_mode: str = "fixed"
 
     def weights(self) -> FSWeights:
         return FSWeights(
@@ -224,8 +227,19 @@ class Pipeline:
             simmed = text_pair_similarity(
                 pairs_in, extracted, id_col="uid", text_col=cfg.text_col
             )
+            weights = cfg.weights()
+            if cfg.weights_mode == "em":
+                from rlr_spark.operators.scoring import estimate_mu_em
+
+                # one extra aggregation over the similarity column; the
+                # EM loop itself runs on the tiny pattern table
+                simmed = simmed.persist()
+                mu, _ = estimate_mu_em(
+                    simmed, ["sim_jaccard"], agree_threshold=cfg.agree_threshold
+                )
+                weights.groups = mu
             labeled = init_review_columns(
-                score_and_label(simmed, cfg.weights())
+                score_and_label(simmed, weights)
             ).withColumn("rlr_modified", F.current_timestamp())
             self._write_stage("score", labeled, t0)
         scored = self.catalog.read("score")

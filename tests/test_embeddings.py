@@ -76,3 +76,28 @@ def test_embedding_dup_pairs(spark):
     got = {(r.l_id, r.r_id) for r in embedding_dup_pairs(df, dim=4, threshold=0.99, n_planes=2).collect()}
     assert (1, 2) in got
     assert (1, 3) not in got
+
+
+def test_ivf_topk(spark):
+    from rlr_spark.functions.embeddings import ivf_topk, train_ivf_centroids
+
+    corpus = _corpus(spark)
+    centroids = train_ivf_centroids(corpus, k=8, n_iter=2)
+    assert len(centroids) == 8 and len(centroids[0]) == 8
+    # deterministic: same call, same centroids
+    again = train_ivf_centroids(corpus, k=8, n_iter=2)
+    assert centroids == again
+
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(corpus, queries, centroids, k=5, n_probe=3).collect()
+    top1 = {r.query_id: r for r in out if r.rank == 1}
+    for qid, r in top1.items():
+        assert r.vec_id == qid  # self lives in its own nearest cell
+    # ranks are dense 1..k per query
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -67,3 +67,24 @@ def test_config_change_invalidates(spark, pipeline_out, run_dir):
     cfg = PipelineConfig(salt_k=2, max_block_size=None, upper=3.5)
     pipe2 = Pipeline(spark, pipe.catalog, cfg)
     assert not pipe2._stage_done("score")  # fingerprint mismatch forces re-run
+
+
+def test_em_weights_mode_recovers_clusters(spark, tmp_path):
+    """weights_mode='em': unsupervised m/u still separates the planted
+    mixture well enough for F1 >= 0.99 (EM sees a clear bimodal
+    agreement pattern on this corpus)."""
+    import os
+
+    from rlr_spark.datagen import write_web_pages
+
+    data_dir = str(tmp_path / "em_data")
+    pages_path, truth_path = write_web_pages(data_dir, n_pages=400, seed=13)
+    pages = spark.read.parquet(pages_path)
+    truth = spark.read.parquet(truth_path)
+    cat = Catalog(spark, str(tmp_path / "em_wh"))
+    pipe = Pipeline(
+        spark, cat, PipelineConfig(salt_k=2, max_block_size=None, weights_mode="em")
+    )
+    out = pipe.run(pages)
+    scores = pairwise_f1(out["cluster"], truth)
+    assert scores["f1"] >= 0.99, scores
