@@ -131,13 +131,25 @@ def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# tokenize per document (O(docs)), not per pair — mirrors the Spark side
 _FS_SQL = f"""
-    WITH pairs AS ({_PAIR_SQL}),
+    WITH d AS (
+      SELECT doc_id, source, lang,
+             list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+      FROM documents),
     sc AS (
-      SELECT l_id, r_id, {_JAC_SQL} AS jaccard,
-             (CASE WHEN {_JAC_SQL} >= 0.5 THEN {_W1_A} ELSE {_W1_D} END
-              + CASE WHEN l_lang = r_lang THEN {_W2_A} ELSE {_W2_D} END) AS score
-      FROM pairs)
+      SELECT a.doc_id AS l_id, b.doc_id AS r_id,
+             round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
+                        THEN 0.0
+                        ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                             / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE
+                    END, 6) AS jaccard,
+             (CASE WHEN len(list_intersect(a.toks, b.toks))::DOUBLE
+                        >= 0.5 * len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE
+                    AND len(list_distinct(list_concat(a.toks, b.toks))) > 0
+                   THEN {_W1_A} ELSE {_W1_D} END
+              + CASE WHEN a.lang = b.lang THEN {_W2_A} ELSE {_W2_D} END) AS score
+      FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
     SELECT l_id, r_id, jaccard, round(score, 6) AS fs_score,
            CASE WHEN score >= 4.0 THEN 'Match'
                 WHEN score <= 0.0 THEN 'Not a Match'

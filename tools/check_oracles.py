@@ -67,8 +67,9 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, sf_dir)
-            s_rows = [tuple(r) for r in sdf.collect()]
-            s_cols = sdf.columns
+            s_pdf = sdf.toPandas()  # Arrow path — py4j collect() is 100x slower
+            s_rows = list(s_pdf.itertuples(index=False, name=None))
+            s_cols = list(s_pdf.columns)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
