@@ -353,6 +353,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "o_orderkey", (F.row_number().over(w) - 1).alias("pair_id")
         )
 
+    # -- P2: review-column init defaults (rlr.py:159-165) ---------------------
+    def p2_init_review(spark, sf_dir):
+        from rlr_spark.operators.review import init_review_columns
+
+        d = init_review_columns(
+            _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 50)
+        )
+        return d.select(
+            "doc_id", "rlr_label", "rlr_label_ind", "rlr_note",
+            "rlr_l_id_exists", "rlr_r_id_exists",
+        )
+
+    # -- N1: prev cursor move (rlr.py:615-626) --------------------------------
+    def n1_prev_pair(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return (
+            d.where(F.col("doc_id") < 200)
+            .orderBy(F.col("doc_id").desc())
+            .limit(1)
+            .select("doc_id")
+        )
+
+    # -- N3: goto / point access (rlr.py:627-633) ------------------------------
+    def n3_goto(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        return d.where(F.col("doc_id") == 123).select("doc_id", "source", "lang")
+
     # -- U1: bulk label upsert → counts (rlr.py:698-744) ----------------------
     def u1_upsert_labels(spark, sf_dir):
         from rlr_spark.operators.review import init_review_columns, upsert_labels
@@ -491,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_fs_score": c3_fs_score,
         "n2_next_unlabeled": n2_next_unlabeled,
         "p1_dense_pair_id": p1_dense_pair_id,
+        "p2_init_review": p2_init_review,
+        "n1_prev_pair": n1_prev_pair,
+        "n3_goto": n3_goto,
         "u1_upsert_labels": u1_upsert_labels,
         "block_domain_paircount": block_domain_paircount,
         "dedup_exact": dedup_exact,
@@ -638,6 +668,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    row_number() OVER (ORDER BY o_orderkey) - 1 AS pair_id
             FROM orders WHERE o_orderkey <= 1000
+        """,
+        "p2_init_review": """
+            SELECT doc_id, '' AS rlr_label, 0 AS rlr_label_ind, '' AS rlr_note,
+                   0 AS rlr_l_id_exists, 0 AS rlr_r_id_exists
+            FROM documents WHERE doc_id < 50
+        """,
+        "n1_prev_pair": """
+            SELECT doc_id FROM documents WHERE doc_id < 200
+            ORDER BY doc_id DESC LIMIT 1
+        """,
+        "n3_goto": """
+            SELECT doc_id, source, lang FROM documents WHERE doc_id = 123
         """,
         "u1_upsert_labels": """
             SELECT coalesce(nullif(CASE WHEN lang = 'de' THEN 'Match' ELSE '' END, ''),
