@@ -88,3 +88,58 @@ def test_em_weights_mode_recovers_clusters(spark, tmp_path):
     out = pipe.run(pages)
     scores = pairwise_f1(out["cluster"], truth)
     assert scores["f1"] >= 0.99, scores
+
+
+def test_sigkill_resume(tmp_path):
+    """Hard-kill a pipeline subprocess mid-run (SIGKILL, no cleanup);
+    a fresh process resumes from the last completed stage and finishes."""
+    import json
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    from rlr_spark.datagen import write_web_pages
+
+    data_dir = str(tmp_path / "kill_data")
+    pages_path, _ = write_web_pages(data_dir, n_pages=300, seed=5)
+    wh = str(tmp_path / "kill_wh")
+
+    child = f"""
+import sys
+sys.path.insert(0, "/root/repo")
+from rlr_spark.session import get_spark
+from rlr_spark.catalog import Catalog
+from rlr_spark.pipeline import Pipeline, PipelineConfig
+spark = get_spark(master="local[2]", shuffle_partitions=2, app_name="kill_child")
+pages = spark.read.parquet({pages_path!r})
+pipe = Pipeline(spark, Catalog(spark, {wh!r}), PipelineConfig(salt_k=2, max_block_size=None))
+out = pipe.run(pages)
+print("DONE", out["cluster"].count(), flush=True)
+"""
+    # run 1: SIGKILL as soon as the first stage manifest lands
+    p = subprocess.Popen(
+        [sys.executable, "-c", child], stdout=subprocess.PIPE, stderr=subprocess.DEVNULL
+    )
+    manifest = os.path.join(wh, "_manifests", "extract.json")
+    deadline = time.time() + 180
+    while time.time() < deadline and not os.path.exists(manifest):
+        if p.poll() is not None:
+            break
+        time.sleep(0.5)
+    assert os.path.exists(manifest), "extract stage never completed"
+    if p.poll() is None:
+        p.send_signal(signal.SIGKILL)
+        p.wait()
+
+    extract_mtime = os.path.getmtime(manifest)
+
+    # run 2: fresh process completes, without redoing extract
+    out = subprocess.run(
+        [sys.executable, "-c", child], capture_output=True, text=True, timeout=600, check=False
+    )
+    assert "DONE 300" in out.stdout, out.stdout[-2000:]
+    assert os.path.getmtime(manifest) == extract_mtime  # extract not recomputed
+    with open(os.path.join(wh, "_manifests", "cluster.json")) as f:
+        assert json.load(f)["status"] == "complete"
