@@ -82,7 +82,7 @@ _JAC_SQL = (
 # FS weights used by the c3/cc queries (fixed, mirrored in SQL literals):
 # group 1 = token-jaccard agreement (m=0.95, u=0.02), group 2 = same-lang
 # (m=0.9, u=0.3). log2 weights inlined as exact decimal literals.
-_W1_A, _W1_D = 5.569855608330948, -4.292321557058806  # log2(.95/.02), log2(.05/.98)
+_W1_A, _W1_D = 5.569855608330948, -4.292781749227846  # log2(.95/.02), log2(.05/.98)
 _W2_A, _W2_D = 1.5849625007211562, -2.807354922057604  # log2(.9/.3), log2(.1/.7)
 
 
@@ -613,7 +613,9 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "a3_completion": """
-            SELECT sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS labeled,
+            -- ::BIGINT: DuckDB's sum() returns HUGEINT (int128); the driver's
+            -- value hash is type-sensitive and Spark's sum is BIGINT
+            SELECT sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)::BIGINT AS labeled,
                    count(*) AS total
             FROM documents
         """,

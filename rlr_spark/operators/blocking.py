@@ -159,13 +159,17 @@ def block_pairs(
     """
     keyed = keyed.select(id_col, key_col).where(F.col(key_col).isNotNull())
     # the keyed relation is consumed by three jobs (sizes agg, stats
-    # collect, pair join); persisting avoids recomputing an expensive
-    # upstream (e.g. the 48-permutation minhash) each time
-    keyed = keyed.persist()
+    # collect, pair join); localCheckpoint (lazy) materializes it once —
+    # the stats collect below triggers it — so an expensive upstream
+    # (e.g. the 48-permutation minhash) never recomputes. Unlike
+    # .persist(), the blocks live outside the CacheManager and are freed
+    # by the ContextCleaner when the returned plan is dropped, so
+    # repeated standalone calls don't leak cached relations.
+    keyed = keyed.localCheckpoint(eager=False)
 
-    # sizes feeds both the stats collect and the kept-keys join — persist
-    # so the groupBy shuffle over the keyed relation happens once
-    sizes = keyed.groupBy(key_col).agg(F.count("*").alias("_blk_n")).persist()
+    # sizes feeds both the stats collect and the kept-keys join — same
+    # lazy-checkpoint treatment so its groupBy shuffle happens once
+    sizes = keyed.groupBy(key_col).agg(F.count("*").alias("_blk_n")).localCheckpoint(eager=False)
     if max_block_size is not None:
         kept_keys = sizes.where(F.col("_blk_n") <= max_block_size)
         agg = sizes.agg(

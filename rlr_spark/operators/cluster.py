@@ -91,33 +91,40 @@ def connected_components(
     Singleton nodes (no edges) are the caller's concern — join the
     result back with a coalesce to self (see :func:`cluster_pairs`).
     """
-    cur = _canonical(edges).localCheckpoint(eager=True)
-    spark = cur.sparkSession
+    spark = edges.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
 
     # The fixpoint loop is latency-bound, not throughput-bound: each star
     # round is a shuffle over the (shrinking) edge set, and at web scale
     # the match-edge set is orders of magnitude smaller than the pair
-    # table. Size the loop's shuffle parallelism to the data instead of
-    # inheriting the pair-stage setting — hundreds of near-empty reduce
-    # tasks per round dominate wall-clock otherwise.
-    n_edges = cur.count()
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_sp = max(1, min(int(old_sp), n_edges // 200_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
+    # table. The loop therefore minimizes *jobs per round*: checkpoints
+    # are lazy (eager=False) and the per-round fingerprint aggregation is
+    # the single job that materializes the checkpoint, checks
+    # convergence, AND supplies the edge count — one job per round
+    # instead of three. try/finally restores the session's shuffle
+    # parallelism even if an executor loss aborts mid-iteration.
+    try:
+        cur = _canonical(edges).localCheckpoint(eager=False)
+        n_edges, _ = _fingerprint(cur)
+        # size the loop's shuffle parallelism to the (small) edge set
+        # instead of inheriting the pair-stage setting — hundreds of
+        # near-empty reduce tasks per round dominate wall-clock otherwise
+        loop_sp = max(1, min(int(old_sp), n_edges // 200_000 + 1))
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
 
-    prev_fp: tuple[int, int] | None = None
-    for i in range(max_iter):
-        nxt = _small_star(_large_star(cur))
-        if checkpoint_every and (i % checkpoint_every == 0):
-            nxt = nxt.localCheckpoint(eager=True)
-        fp = _fingerprint(nxt)
-        if fp == prev_fp:
+        prev_fp: tuple[int, int] | None = None
+        for i in range(max_iter):
+            nxt = _small_star(_large_star(cur))
+            if checkpoint_every and (i % checkpoint_every == 0):
+                nxt = nxt.localCheckpoint(eager=False)
+            fp = _fingerprint(nxt)
+            if fp == prev_fp:
+                cur = nxt
+                break
+            prev_fp = fp
             cur = nxt
-            break
-        prev_fp = fp
-        cur = nxt
-
-    spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
 
     # converged: star graphs, every edge points member -> component min
     members = cur.select(F.col("u").alias("node"), F.col("v").alias("entity_id"))

@@ -105,10 +105,26 @@ class Pipeline:
             and self.catalog.exists(stage)
         )
 
-    def _write_stage(self, stage: str, df: DataFrame, t0: float, extra: dict | None = None) -> None:
-        """Materialize + manifest + per-partition metrics (lineage table)."""
+    def _write_stage(
+        self,
+        stage: str,
+        df: DataFrame,
+        t0: float,
+        extra: dict | None = None,
+        validate=None,
+    ) -> None:
+        """Materialize + manifest + per-partition metrics (lineage table).
+
+        ``validate(out)`` runs on the materialized output BEFORE the
+        manifest exists: if it raises, a restarted run re-enters the
+        stage (and re-validates) instead of seeing a 'complete' manifest
+        and skipping the check.
+        """
         self.catalog.write(df, stage)
         out = self.catalog.read(stage)
+        validated = None
+        if validate is not None:
+            validated = validate(out)
         # one pass computes the per-partition lineage counts AND the total:
         # the tiny aggregate is collected, re-uploaded, and written as the
         # metrics table driver-side (a separate count() job per stage was
@@ -134,6 +150,7 @@ class Pipeline:
             "duration_sec": round(time.time() - t0, 3),
             "config_fingerprint": self.config.fingerprint(),
             "n_partitions": out.rdd.getNumPartitions(),
+            **({"validated": validated} if validated is not None else {}),
             **(extra or {}),
         }
         tmp = self._manifest_path(stage) + ".tmp"
@@ -188,15 +205,20 @@ class Pipeline:
                 .drop("html")
                 .withColumn("uid", F.xxhash64(F.col(cfg.id_col)))
             )
-            self._write_stage("extract", extracted, t0)
-            ex = self.catalog.read("extract")
-            counts = ex.agg(
-                F.count("*").alias("n"), F.countDistinct("uid").alias("nu")
-            ).collect()[0]
-            if counts.n != counts.nu:
-                raise RuntimeError(
-                    f"uid hash collision: {counts.n} rows, {counts.nu} distinct uids"
-                )
+            def _check_uid_collisions(out: DataFrame) -> str:
+                counts = out.agg(
+                    F.count("*").alias("n"), F.countDistinct("uid").alias("nu")
+                ).collect()[0]
+                if counts.n != counts.nu:
+                    raise RuntimeError(
+                        f"uid hash collision: {counts.n} rows, {counts.nu} distinct uids"
+                    )
+                return f"uid_unique:{counts.n}"
+
+            # the check runs BEFORE the manifest is written: a collision
+            # aborts the stage and a restarted run re-checks, instead of
+            # resuming past a 'complete' manifest with colliding uids
+            self._write_stage("extract", extracted, t0, validate=_check_uid_collisions)
         extracted = self.catalog.read("extract")
 
         # pairs: multi-pass blocking, salted, capped, deduped — keyed on uid

@@ -17,20 +17,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# output carries only what the operator can truthfully report: the
+# first-seen row per key. (A dropped-duplicate count was removed — rows
+# are only ever emitted on first sight of a key, so the count column was
+# structurally always 0 and misleading.)
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("text_md5", T.StringType(), False),
         T.StructField("url", T.StringType(), True),
-        T.StructField("n_dupes_dropped", T.LongType(), True),
     ]
 )
 
-STATE_SCHEMA = T.StructType(
-    [
-        T.StructField("seen", T.BooleanType(), True),
-        T.StructField("dropped", T.LongType(), True),
-    ]
-)
+STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType(), True)])
 
 
 def _first_seen(
@@ -38,18 +36,16 @@ def _first_seen(
     batches: Iterable[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    seen, dropped = state.get if state.exists else (False, 0)
+    (seen,) = state.get if state.exists else (False,)
     out = []
     for pdf in batches:
         for url in pdf["url"]:
             if not seen:
                 seen = True
-                out.append((key[0], url, 0))
-            else:
-                dropped += 1
-    state.update((seen, dropped))
+                out.append((key[0], url))
+    state.update((seen,))
     if out:
-        yield pd.DataFrame(out, columns=["text_md5", "url", "n_dupes_dropped"])
+        yield pd.DataFrame(out, columns=["text_md5", "url"])
 
 
 def first_seen_dedup_stream(pages: DataFrame) -> DataFrame:

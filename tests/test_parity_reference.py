@@ -9,6 +9,7 @@ from __future__ import annotations
 import sys
 import warnings
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -76,7 +77,10 @@ def test_review_column_init_parity(reference, spark_pairs):
     assert row.rlr_label == ref_row["rlr_label"] == ""
     assert row.rlr_label_ind == ref_row["rlr_label_ind"] == 0
     assert row.rlr_note == ref_row["rlr_note"] == ""
-    assert row.rlr_modified is None and ref_row["rlr_modified"] is not None or True
+    # init contract: Spark inits rlr_modified to NULL timestamp; the
+    # reference inits to pd.to_datetime("") == NaT (rlr.py:162-165)
+    assert row.rlr_modified is None
+    assert pd.isna(ref_row["rlr_modified"])
 
 
 def _ref_exact_bits(reference, comp_ind: int) -> list[float]:
