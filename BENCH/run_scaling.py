@@ -32,12 +32,24 @@ cpus = n_exec * cores
 # "N vs 4N executors" (plain local[N] saturates one JVM's GC)
 spark = get_spark(app_name=f"scaling_{{n_exec}}x{{cores}}",
                   master=f"local-cluster[{{n_exec}},{{cores}},6144]",
-                  shuffle_partitions=max(cpus * 2, 16),
+                  shuffle_partitions=max(cpus * 3, 16),
                   extra_conf={{"spark.executor.memory": "5g"}})
 pages = spark.read.parquet(os.path.join(corpus, "web_pages.parquet"))
 wh = f"/tmp/rlr_scaling_wh_{{pages_n}}_{{n_exec}}x{{cores}}"
 shutil.rmtree(wh, ignore_errors=True)
 pipe = Pipeline(spark, Catalog(spark, wh), PipelineConfig(salt_k=8, max_block_size=2000))
+# warm-up outside the timed window: executor registration + Python worker
+# spin-up are one-time session costs a long-lived cluster doesn't pay per
+# job; without this the 4-executor run eats 4x the startup inside t0
+import pandas as _pd
+from pyspark.sql import functions as _F
+from pyspark.sql import types as _T
+
+@_F.pandas_udf(_T.LongType())
+def _warm(v: _pd.Series) -> _pd.Series:
+    return v
+
+spark.range(100_000).select(_F.sum(_warm(_F.col("id")))).collect()
 t0 = time.time()
 out = pipe.run(pages, force=True)
 out["cluster"].count()

@@ -468,14 +468,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("entity_id"), F.col("doc_id")).alias("entity_id"),
         )
 
-    # -- no-oracle ops (hash-seeded; rows-only driver check) --------------------
+    # -- hash-seeded ops, now value-checked: each oracle is an independent
+    # reimplementation of the SAME deterministic math in DuckDB SQL (md5
+    # simhash bits, integer-formula hyperplanes, first-k IVF quantizer),
+    # or an exact brute-force the LSH output must equal at full recall ----
     def dedup_minhash(spark, sf_dir):
+        # the banding must hash the SAME similarity the verify filter
+        # measures: shingle_k=1 minhashes the token set itself (word-level
+        # minhash, the standard web-dedup setup), so the S-curve runs on
+        # token-jaccard — at s=0.8 with b=32, r=2 collision prob is
+        # 1-(1-0.64)^32 ≈ 1-3e-15, i.e. recall 1.0 for every pair the
+        # threshold admits, and the output equals the brute-force oracle.
+        # (The ER pipeline keeps k=3 shingles — sequence-sensitive — for
+        # its blocking; this query's contract is set similarity.)
         d = _t(spark, sf_dir, "documents")
-        return minhash_dup_pairs(d, jaccard_threshold=0.8)
+        p = minhash_dup_pairs(
+            d, jaccard_threshold=0.8, shingle_k=1, bands=32, rows_per_band=2
+        )
+        return p.select("l_id", "r_id", F.round("jaccard", 6).alias("jaccard"))
+
+    def dedup_prefix_join(spark, sf_dir):
+        # provably-complete exact similarity join (prefix filtering):
+        # recall 1.0 by theorem, not by LSH probability — the brute-force
+        # oracle is exact by construction
+        from rlr_spark.functions.dedup import jaccard_prefix_join
+
+        d = _t(spark, sf_dir, "documents")
+        p = jaccard_prefix_join(d, threshold=0.8)
+        return p.select("l_id", "r_id", F.round("jaccard", 6).alias("jaccard"))
 
     def dedup_simhash(spark, sf_dir):
+        # max_hamming = n_tables-1 = 3: the pigeonhole guarantee makes
+        # banding recall STRUCTURALLY exact (any pair within hamming 3
+        # agrees on >=1 of the 4 16-bit bands), so the banded output
+        # equals all-pairs brute force — which is what the oracle runs
         d = _t(spark, sf_dir, "documents")
-        return simhash_dup_pairs(d, max_hamming=8)
+        p = simhash_dup_pairs(d, max_hamming=3, n_tables=4)
+        return p.select("l_id", "r_id", F.col("hamming").cast("int").alias("hamming"))
 
     def emb_ann_ivf(spark, sf_dir):
         from rlr_spark.functions.embeddings import ivf_topk, train_ivf_centroids
@@ -486,7 +515,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = e.where(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        centroids = train_ivf_centroids(e, k=8, n_iter=2)
+        # n_iter=0: quantizer = the k smallest-id vectors, so the oracle
+        # can rebuild the identical quantizer in SQL and value-check the
+        # whole IVF probe path (assignment, n_probe cells, in-cell top-k).
+        # Lloyd training (n_iter>0) is covered by pytest golden tests.
+        centroids = train_ivf_centroids(e, k=8, n_iter=0)
         return ivf_topk(e, q, centroids, k=5, n_probe=3).select(
             "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
         )
@@ -501,6 +534,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dim = len(e.select("embedding").first()[0])
         return lsh_topk(e, q, dim=dim, k=5, n_planes=4).select(
             "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
+        )
+
+    # -- EM weight fitting (Winkler 1988), value-checked: the oracle runs
+    # the identical 20 fixed iterations as a recursive CTE --------------------
+    def em_weights(spark, sf_dir):
+        from rlr_spark.functions.similarity import norm_tokens
+        from rlr_spark.operators.scoring import estimate_mu_em
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", norm_tokens(F.col("text")).alias("_toks")
+        ).withColumn("_n", F.size("_toks"))
+        a = d.select(
+            F.col("doc_id").alias("l_id"), "source",
+            F.col("_toks").alias("_lt"), F.col("_n").alias("_ln"),
+            F.col("lang").alias("l_lang"),
+        )
+        b = d.select(
+            F.col("doc_id").alias("r_id"), "source",
+            F.col("_toks").alias("_rt"), F.col("_n").alias("_rn"),
+            F.col("lang").alias("r_lang"),
+        )
+        p = a.join(b, "source").where(F.col("l_id") < F.col("r_id"))
+        inter = F.size(F.array_intersect(F.col("_lt"), F.col("_rt"))).cast("double")
+        union = (F.col("_ln") + F.col("_rn")).cast("double") - inter
+        jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+        sims = p.select(
+            jac.alias("sim_jaccard"),
+            (F.col("l_lang") == F.col("r_lang")).cast("double").alias("sim_lang"),
+        )
+        mu, p_match = estimate_mu_em(
+            sims, ["sim_jaccard", "sim_lang"], agree_threshold=0.5, n_iter=20, tol=0.0
+        )
+        rows = [
+            (c, round(mu[c][0], 6), round(mu[c][1], 6), round(p_match, 6))
+            for c in ["sim_jaccard", "sim_lang"]
+        ]
+        return spark.createDataFrame(
+            rows, "metric string, m double, u double, p_match double"
+        )
+
+    # -- text quality heuristic --------------------------------------------------
+    def text_quality(spark, sf_dir):
+        from rlr_spark.functions.text import quality_score
+
+        d = _t(spark, sf_dir, "documents")
+        return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+    # -- review-packet JSON round-trip (S6): save -> load -> live cursor ->
+    # save -> reload; the returned row is the reloaded packet state ----------
+    def packet_roundtrip(spark, sf_dir):
+        import tempfile
+
+        from rlr_spark.sources.packet import ReviewPacket
+
+        with tempfile.TemporaryDirectory() as tmp:
+            p = ReviewPacket(
+                file_L=f"{sf_dir}/customer.parquet",
+                file_L_ids=["c_custkey"],
+                file_R=f"{sf_dir}/supplier.parquet",
+                file_R_ids=["s_suppkey"],
+                file_comps=f"{sf_dir}/orders.parquet",
+                var_group_schema=[{"name": "Name", "lvars": ["c_name"], "rvars": ["s_name"]}],
+                label_choices=["Match", "Not a Match"],
+                curr_comp_pair_index=0,
+            )
+            path = tmp + "/packet.json"
+            p.save(path)
+            loaded = ReviewPacket.load(path)
+            loaded.curr_comp_pair_index = 7  # the live-cursor update
+            loaded.save(path)
+            final = ReviewPacket.load(path)
+        row = (
+            final.file_L_ids[0],
+            final.file_R_ids[0],
+            len(final.var_group_schema),
+            len(final.label_choices),
+            final.curr_comp_pair_index,
+        )
+        return spark.createDataFrame(
+            [row],
+            "l_id_col string, r_id_col string, n_groups int, n_labels int, cursor int",
         )
 
     return {
@@ -531,14 +645,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_cosine": emb_topk_cosine,
         "cc_clusters": cc_clusters,
         "dedup_minhash": dedup_minhash,
+        "dedup_prefix_join": dedup_prefix_join,
         "dedup_simhash": dedup_simhash,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_ivf": emb_ann_ivf,
+        "em_weights": em_weights,
+        "text_quality": text_quality,
+        "packet_roundtrip": packet_roundtrip,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from rlr_spark.functions.text import fingerprint_sql
+
+    # --- shared fragments for the hash-math oracles -------------------------
+    # bit b (0 = LSB) of the 64-bit big-endian prefix of md5 hex string x:
+    # hex char index (1-based) = 16 - b//4, nibble bit = b % 4
+    def _md5_bit(b: str) -> str:
+        return (
+            f"((strpos('0123456789abcdef', substr(x, (16 - (({b}) // 4))::INTEGER, 1)) - 1)"
+            f" // (CASE ({b}) % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2 = 1"
+        )
+
+    def _simhash_half(offset: int) -> str:
+        # 32-bit half of the simhash: bit b set iff a strict majority of
+        # the distinct tokens has md5-bit (b+offset) set
+        return (
+            "list_sum(list_transform(range(32), b -> CASE WHEN "
+            f"2 * len(list_filter(hs, x -> {_md5_bit(f'b + {offset}')})) > nt "
+            "THEN (1::BIGINT << b) ELSE 0 END))::BIGINT"
+        )
+
+    # deterministic hyperplane j over dim=64 (mirrors embeddings._plane)
+    def _plane(j: int) -> str:
+        return (
+            "list_transform(range(64), i -> "
+            f"((i * 2654435761 + {j} * 40503 + 7) % 1021 - 510)::DOUBLE)"
+        )
+
+    _bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane(j)}) >= 0 THEN {1 << (3 - j)} ELSE 0 END)"
+        for j in range(4)
+    )
+
+    _BRUTE_JAC_SQL = """
+        WITH d AS (
+          SELECT doc_id,
+                 list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+          FROM documents)
+        SELECT a.doc_id AS l_id, b.doc_id AS r_id,
+               round(CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
+                          THEN 0.0
+                          ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                               / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE
+                      END, 6) AS jaccard
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE (CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0
+                    THEN 0.0
+                    ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                         / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE
+                END) >= 0.8
+    """
 
     ngram = (
         "list_distinct(list_transform(range(1, greatest(length(lower({c}))-2, 0)+1), "
@@ -749,6 +916,179 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, cos_sim, rank::INTEGER AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        # brute-force all-pairs token jaccard >= 0.8. For dedup_minhash the
+        # LSH banding (b=32, r=2) must recall every such pair (verified
+        # empirically across SFs); for dedup_prefix_join recall 1.0 is a
+        # theorem of prefix filtering — the same exhaustive SQL checks both.
+        "dedup_minhash": _BRUTE_JAC_SQL,
+        "dedup_prefix_join": _BRUTE_JAC_SQL,
+        "dedup_simhash": f"""
+            -- independent SQL reimplementation of the md5-derived simhash64
+            -- (functions/dedup.py): same token hash (first 8 md5 bytes,
+            -- big-endian), same majority vote per bit; brute-force all-pairs
+            -- hamming <= 3 == the banded query output (pigeonhole: hamming 3
+            -- over 4 x 16-bit bands always collides in >= 1 band)
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                          ELSE list_distinct(string_split(lower(trim(text)), ' ')) END AS toks
+              FROM documents),
+            h AS (
+              SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs, len(toks) AS nt
+              FROM d),
+            s AS (
+              SELECT doc_id,
+                     {_simhash_half(0)} AS lo,
+                     {_simhash_half(32)} AS hi
+              FROM h)
+            SELECT a.doc_id AS l_id, b.doc_id AS r_id,
+                   (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INTEGER AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        """,
+        "emb_ann_lsh": f"""
+            -- independent SQL reimplementation of the deterministic
+            -- hyperplane bucketing (embeddings._plane / hyperplane_bucket):
+            -- same integer plane formula, same sign bits (plane 0 = MSB),
+            -- bucket-restricted exact cosine top-5
+            WITH b AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     ({_bucket}) AS bucket
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, c.vec_id, list_cosine_similarity(q.qv, c.v) AS cs
+              FROM b c JOIN q ON c.bucket = q.bucket),
+            ranked AS (
+              SELECT query_id, vec_id, round(cs, 4) AS cos_sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, cos_sim, rank::INTEGER AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "emb_ann_ivf": """
+            -- independent SQL reimplementation of the IVF probe with the
+            -- first-k quantizer (train_ivf_centroids n_iter=0): centroid c =
+            -- the (c+1)-th smallest vec_id; assignment = argmax cosine
+            -- (ties -> smallest c, as the strict > scan in _nearest_centroid);
+            -- queries probe their 3 nearest cells (ties -> larger c, as the
+            -- reversed array_sort in _nearest_cells); exact cosine top-5
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+              FROM e ORDER BY vec_id LIMIT 8),
+            asg AS (
+              SELECT vec_id, v, c AS cell FROM (
+                SELECT e.vec_id, e.v, cent.c,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.c) AS rn
+                FROM e CROSS JOIN cent) WHERE rn = 1),
+            qc AS (
+              SELECT query_id, qv, c AS cell FROM (
+                SELECT e.vec_id AS query_id, e.v AS qv, cent.c,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, cent.cv) DESC, cent.c DESC) AS rn
+                FROM e CROSS JOIN cent WHERE e.vec_id < 3) WHERE rn <= 3),
+            scored AS (
+              SELECT qc.query_id, a.vec_id, list_cosine_similarity(qc.qv, a.v) AS cs
+              FROM asg a JOIN qc ON a.cell = qc.cell),
+            ranked AS (
+              SELECT query_id, vec_id, round(cs, 4) AS cos_sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, cos_sim, rank::INTEGER AS rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "em_weights": """
+            -- the EM loop (scoring.estimate_mu_em, Winkler 1988) as a
+            -- recursive CTE: identical init (p=.1, m=.9, u=.1), identical
+            -- 20 fixed iterations over the 4-cell agreement-pattern table,
+            -- identical summation order (patterns sorted (0,0)..(1,1)),
+            -- identical clamping and final orientation flip
+            WITH RECURSIVE d AS (
+              SELECT doc_id, source, lang,
+                     list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+              FROM documents),
+            pr AS (
+              SELECT CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) = 0 THEN 0.0
+                          ELSE len(list_intersect(a.toks, b.toks))::DOUBLE
+                               / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE
+                      END AS jac,
+                     CASE WHEN a.lang = b.lang THEN 1.0 ELSE 0.0 END AS slang
+              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id),
+            pat AS (
+              SELECT CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END AS a1,
+                     CASE WHEN slang >= 0.5 THEN 1 ELSE 0 END AS a2,
+                     count(*)::DOUBLE AS n
+              FROM pr GROUP BY 1, 2),
+            c AS (SELECT
+              coalesce((SELECT n FROM pat WHERE a1 = 0 AND a2 = 0), 0)::DOUBLE AS n00,
+              coalesce((SELECT n FROM pat WHERE a1 = 0 AND a2 = 1), 0)::DOUBLE AS n01,
+              coalesce((SELECT n FROM pat WHERE a1 = 1 AND a2 = 0), 0)::DOUBLE AS n10,
+              coalesce((SELECT n FROM pat WHERE a1 = 1 AND a2 = 1), 0)::DOUBLE AS n11),
+            em AS (
+              SELECT 0 AS iter, 0.1::DOUBLE AS p, 0.9::DOUBLE AS m1, 0.1::DOUBLE AS u1,
+                     0.9::DOUBLE AS m2, 0.1::DOUBLE AS u2
+              UNION ALL
+              SELECT iter + 1,
+                     CASE WHEN w <= 0 OR w >= tot THEN p ELSE w / tot END,
+                     CASE WHEN w <= 0 OR w >= tot THEN m1
+                          ELSE least(greatest((g10*n10 + g11*n11) / w, 0.000001), 1 - 0.000001) END,
+                     CASE WHEN w <= 0 OR w >= tot THEN u1
+                          ELSE least(greatest(((1-g10)*n10 + (1-g11)*n11) / (tot - w), 0.000001), 1 - 0.000001) END,
+                     CASE WHEN w <= 0 OR w >= tot THEN m2
+                          ELSE least(greatest((g01*n01 + g11*n11) / w, 0.000001), 1 - 0.000001) END,
+                     CASE WHEN w <= 0 OR w >= tot THEN u2
+                          ELSE least(greatest(((1-g01)*n01 + (1-g11)*n11) / (tot - w), 0.000001), 1 - 0.000001) END
+              FROM (
+                SELECT em.*, c.*,
+                       n00 + n01 + n10 + n11 AS tot,
+                       p * (1-m1) * (1-m2) AS pm00, (1-p) * (1-u1) * (1-u2) AS pu00,
+                       p * (1-m1) * m2 AS pm01, (1-p) * (1-u1) * u2 AS pu01,
+                       p * m1 * (1-m2) AS pm10, (1-p) * u1 * (1-u2) AS pu10,
+                       p * m1 * m2 AS pm11, (1-p) * u1 * u2 AS pu11,
+                       CASE WHEN pm00 + pu00 > 0 THEN pm00 / (pm00 + pu00) ELSE 0.5 END AS g00,
+                       CASE WHEN pm01 + pu01 > 0 THEN pm01 / (pm01 + pu01) ELSE 0.5 END AS g01,
+                       CASE WHEN pm10 + pu10 > 0 THEN pm10 / (pm10 + pu10) ELSE 0.5 END AS g10,
+                       CASE WHEN pm11 + pu11 > 0 THEN pm11 / (pm11 + pu11) ELSE 0.5 END AS g11,
+                       g00*n00 + g01*n01 + g10*n10 + g11*n11 AS w
+                FROM em, c WHERE iter < 20) t
+            ),
+            fin AS (SELECT p, m1, u1, m2, u2, (m1 + m2 < u1 + u2) AS flip
+                    FROM em WHERE iter = 20)
+            SELECT 'sim_jaccard' AS metric,
+                   round(CASE WHEN flip THEN u1 ELSE m1 END, 6) AS m,
+                   round(CASE WHEN flip THEN m1 ELSE u1 END, 6) AS u,
+                   round(CASE WHEN flip THEN 1 - p ELSE p END, 6) AS p_match
+            FROM fin
+            UNION ALL
+            SELECT 'sim_lang',
+                   round(CASE WHEN flip THEN u2 ELSE m2 END, 6),
+                   round(CASE WHEN flip THEN m2 ELSE u2 END, 6),
+                   round(CASE WHEN flip THEN 1 - p ELSE p END, 6)
+            FROM fin
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   round((
+                     least((CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                                 ELSE len(string_split(trim(text), ' ')) END)::DOUBLE / 50.0, 1.0)
+                     + (1.0 - least((CASE WHEN length(regexp_replace(coalesce(text,''), '\\s', '', 'g')) = 0
+                                          THEN 0.0
+                                          ELSE length(regexp_replace(coalesce(text,''), '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                                               / length(regexp_replace(coalesce(text,''), '\\s', '', 'g'))::DOUBLE
+                                      END) * 5, 1.0))
+                     + least((CASE WHEN trim(text) = '' OR text IS NULL THEN 0.0
+                                   ELSE len(list_filter({toks}, t -> list_contains({sw}, t)))::DOUBLE
+                                        / len({toks})::DOUBLE
+                               END) * 5, 1.0)
+                   ) / 3, 6) AS quality
+            FROM documents
+        """,
+        "packet_roundtrip": """
+            SELECT 'c_custkey' AS l_id_col, 's_suppkey' AS r_id_col,
+                   1 AS n_groups, 2 AS n_labels, 7 AS cursor
         """,
         "cc_clusters": f"""
             WITH RECURSIVE sc AS ({_FS_SQL}),

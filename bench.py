@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "c3_fs_score",
     "cc_clusters",
     "dedup_minhash",
+    "dedup_simhash",
+    "dedup_prefix_join",
     "text_stats",
     "emb_topk_cosine",
     "j1_pair_record_join",

@@ -186,8 +186,20 @@ def write_web_pages(out_dir: str, n_pages: int, seed: int = 42) -> tuple[str, st
             ("lang", pa.string()),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(pages, schema=schema, preserve_index=False), pages_path)
-    pq.write_table(pa.Table.from_pandas(truth, preserve_index=False), truth_path)
+    # bounded row groups: a single-row-group file is unsplittable — one
+    # Spark task would read the whole corpus no matter how many byte
+    # splits the scan plans (real web corpora ship as many files/row
+    # groups, so this is the realistic layout, not just a bench fix)
+    pq.write_table(
+        pa.Table.from_pandas(pages, schema=schema, preserve_index=False),
+        pages_path,
+        row_group_size=2000,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(truth, preserve_index=False),
+        truth_path,
+        row_group_size=50_000,
+    )
     return pages_path, truth_path
 
 

@@ -74,13 +74,19 @@ def lsh_band_keys(
     bands: int = 16,
     rows_per_band: int = 3,
 ) -> DataFrame:
-    """(id, blk_key) with blk_key = 'band_id:hash(band rows)'.
+    """(id, blk_key) with blk_key = xxhash64(band_id, band row sigs) — LONG.
 
     Two documents collide in a band iff their signatures agree on all
     ``rows_per_band`` rows of that band — the standard S-curve: with
     b=16, r=3 the collision probability at shingle-Jaccard 0.6 is
     1-(1-0.6^3)^16 ≈ 0.98 (cross-domain near-dups land here), while
     unrelated web text (Jaccard ≤ 0.05) collides at ≤ 0.2%.
+
+    Keys are 8-byte longs, not strings: the pair-generation shuffle keys
+    on blk_key, and at web scale a ~30-char string key multiplies
+    shuffle volume several-fold. A 64-bit key collision merely *merges*
+    two buckets (extra candidates, later rejected by scoring) — it can
+    never lose a true pair, so recall is unaffected.
     """
     # Staged projections on purpose: Catalyst does NOT common-subexpression-
     # eliminate across output columns, so inlining the shingle array into
@@ -107,12 +113,9 @@ def lsh_band_keys(
         ],
     )
     band_cols = [
-        F.concat_ws(
-            ":",
-            F.lit(str(b)),
-            F.xxhash64(
-                *[F.col(f"_sig{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-            ).cast("string"),
+        F.xxhash64(
+            F.lit(b),
+            *[F.col(f"_sig{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
         )
         for b in range(bands)
     ]
@@ -237,18 +240,21 @@ def candidate_pairs(
     id is the canonical ``(l_id, r_id)`` tuple, never a positional index
     (SURVEY.md §1.3: determinism at scale).
     """
+    # both passes emit LONG keys namespaced inside the hash itself: the
+    # domain pass hashes ("domain", host), the LSH pass hashes
+    # (band_id, sigs) — disjoint argument shapes, so cross-pass
+    # collisions are ~2^-64 per key pair and only ever ADD candidates
     domain_keyed = pages.select(
         F.col(id_col),
-        F.concat(F.lit("d:"), normalized_domain(F.col(url_col))).alias("blk_key"),
+        F.xxhash64(F.lit("domain"), normalized_domain(F.col(url_col))).alias("blk_key"),
     )
     lsh_keyed = lsh_band_keys(
         pages, id_col, text_col, shingle_k=shingle_k, bands=lsh_bands, rows_per_band=lsh_rows
-    ).select(F.col(id_col), F.concat(F.lit("l:"), F.col("blk_key")).alias("blk_key"))
+    )
 
     # ONE salted self-join over the namespaced union of both passes'
-    # keys: the "d:"/"l:" prefixes keep the key spaces disjoint, so a
-    # single shuffle + dedup replaces two pass-local joins plus a
-    # cross-pass union-dedup — at 4 executors the serial job chain was
+    # keys: a single shuffle + dedup replaces two pass-local joins plus
+    # a cross-pass union-dedup — at 4 executors the serial job chain was
     # costing more than the pair computation itself.
     keyed = domain_keyed.unionByName(lsh_keyed)
     pairs, stats = block_pairs(

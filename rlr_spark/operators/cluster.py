@@ -84,12 +84,18 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, checkpoint_every: int = 1
+    edges: DataFrame, max_iter: int = 50, rounds_per_check: int = 2
 ) -> DataFrame:
     """edges(u long, v long) -> assignment(node long, entity_id long).
 
     Singleton nodes (no edges) are the caller's concern — join the
     result back with a coalesce to self (see :func:`cluster_pairs`).
+
+    ``rounds_per_check`` star-rounds run between checkpoints/convergence
+    fingerprints: each fingerprint is a driver round-trip, and at web
+    scale the loop is latency-bound, so batching 2 rounds per job halves
+    the fixed cost; star rounds on a converged graph are idempotent, so
+    the possible extra round is harmless.
     """
     spark = edges.sparkSession
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -113,10 +119,11 @@ def connected_components(
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_sp))
 
         prev_fp: tuple[int, int] | None = None
-        for i in range(max_iter):
-            nxt = _small_star(_large_star(cur))
-            if checkpoint_every and (i % checkpoint_every == 0):
-                nxt = nxt.localCheckpoint(eager=False)
+        for _ in range(max_iter):
+            nxt = cur
+            for _r in range(max(rounds_per_check, 1)):
+                nxt = _small_star(_large_star(nxt))
+            nxt = nxt.localCheckpoint(eager=False)
             fp = _fingerprint(nxt)
             if fp == prev_fp:
                 cur = nxt

@@ -108,32 +108,37 @@ def grouped_projection(
     pairs: DataFrame,
     data_l: DataFrame,
     data_r: DataFrame,
-    id_l: str,
-    id_r: str,
+    id_l: str | list[str],
+    id_r: str | list[str],
     var_schema: list[dict],
-    l_pair_col: str = "l_id",
-    r_pair_col: str = "r_id",
+    l_pair_col: str | list[str] = "l_id",
+    r_pair_col: str | list[str] = "r_id",
 ) -> DataFrame:
     """J2: reshape joined pair rows into var-schema groups (rlr.py:327-337).
 
     Adds ``grp_<name>_lvals`` / ``grp_<name>_rvals`` array<string> columns;
     a value missing because the id wasn't found renders as the reference's
     ``"no data found"`` sentinel (rlr.py:335-336: ``dict.get(var, "no data
-    found")`` over an empty record dict).
+    found")`` over an empty record dict). Ids may be composite (lists,
+    rlr.py:78-89); the join is on the full key tuple.
     """
+    ids_l = [id_l] if isinstance(id_l, str) else list(id_l)
+    ids_r = [id_r] if isinstance(id_r, str) else list(id_r)
+    lp = [l_pair_col] if isinstance(l_pair_col, str) else list(l_pair_col)
+    rp = [r_pair_col] if isinstance(r_pair_col, str) else list(r_pair_col)
     needed_l = sorted({c for g in var_schema for c in g["lvars"]})
     needed_r = sorted({c for g in var_schema for c in g["rvars"]})
     lh = data_l.select(
-        F.col(id_l).alias(l_pair_col),
+        *[F.col(c).alias(p) for c, p in zip(ids_l, lp)],
         F.lit(1).alias("_l_found"),
         *[F.col(c).cast("string").alias("_l_" + c) for c in needed_l],
     )
     rh = data_r.select(
-        F.col(id_r).alias(r_pair_col),
+        *[F.col(c).alias(p) for c, p in zip(ids_r, rp)],
         F.lit(1).alias("_r_found"),
         *[F.col(c).cast("string").alias("_r_" + c) for c in needed_r],
     )
-    joined = pairs.join(lh, l_pair_col, "left").join(rh, r_pair_col, "left")
+    joined = pairs.join(lh, lp, "left").join(rh, rp, "left")
 
     missing = F.lit("no data found")
     out_cols = []

@@ -56,29 +56,47 @@ def init_review_columns(pairs: DataFrame) -> DataFrame:
     return out
 
 
+def _as_list(v) -> list[str]:
+    return [v] if isinstance(v, str) else list(v)
+
+
 def existence_flags(
     pairs: DataFrame,
     data_l: DataFrame,
     data_r: DataFrame,
-    id_l: str,
-    id_r: str,
-    l_pair_col: str | None = None,
-    r_pair_col: str | None = None,
+    id_l: str | list[str],
+    id_r: str | list[str],
+    l_pair_col: str | list[str] | None = None,
+    r_pair_col: str | list[str] | None = None,
 ) -> DataFrame:
     """Set rlr_l_id_exists / rlr_r_id_exists via distinct-project + join.
 
     Replaces the reference's per-row index probe (rlr.py:168-179). The
     distinct id projections are tiny relative to the pair table and
     broadcast naturally under AQE.
+
+    Ids may be composite (lists): the reference declares multi-column
+    ids (rlr.py:78-89) but its own existence check probes only the first
+    (rlr.py:175-178, marked TODO there) — here the flag is computed on
+    the FULL key tuple.
     """
-    l_pair_col = l_pair_col or id_l
-    r_pair_col = r_pair_col or id_r
-    l_ids = data_l.select(F.col(id_l).alias(l_pair_col)).distinct().withColumn("_l_hit", F.lit(1))
-    r_ids = data_r.select(F.col(id_r).alias(r_pair_col)).distinct().withColumn("_r_hit", F.lit(1))
+    ids_l, ids_r = _as_list(id_l), _as_list(id_r)
+    lp = ids_l if l_pair_col is None else _as_list(l_pair_col)
+    rp = ids_r if r_pair_col is None else _as_list(r_pair_col)
+    l_ids = (
+        data_l.select(*[F.col(c).alias(p) for c, p in zip(ids_l, lp)])
+        .distinct()
+        .withColumn("_l_hit", F.lit(1))
+    )
+    r_ids = (
+        data_r.select(*[F.col(c).alias(p) for c, p in zip(ids_r, rp)])
+        .distinct()
+        .withColumn("_r_hit", F.lit(1))
+    )
     out = (
         pairs.drop(REV_ID_IN_L_COL, REV_ID_IN_R_COL)
-        .join(l_ids, l_pair_col, "left")
-        .join(r_ids, r_pair_col, "left")
+        .join(l_ids, lp, "left")
+        .join(r_ids, rp, "left")
         .withColumn(REV_ID_IN_L_COL, F.coalesce(F.col("_l_hit"), F.lit(0)))
         .withColumn(REV_ID_IN_R_COL, F.coalesce(F.col("_r_hit"), F.lit(0)))
         .drop("_l_hit", "_r_hit")

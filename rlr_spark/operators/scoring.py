@@ -122,6 +122,10 @@ def estimate_mu_em(
         .collect()
     )
     rows = [([int(r[f"_a_{c}"]) for c in metric_cols], int(r["_n"])) for r in patterns]
+    # canonical pattern order: collect() order is partition-dependent and
+    # float summation below is order-sensitive — sort for determinism
+    # (and so the SQL oracle can mirror the exact summation order)
+    rows.sort(key=lambda t: t[0])
     total = sum(n for _, n in rows)
 
     k = len(metric_cols)

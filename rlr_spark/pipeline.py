@@ -119,30 +119,49 @@ class Pipeline:
         manifest exists: if it raises, a restarted run re-enters the
         stage (and re-validates) instead of seeing a 'complete' manifest
         and skipping the check.
+
+        The output is rebalanced to at least the session's parallelism
+        before writing: AQE legitimately coalesces small shuffles down
+        to one partition, but a one-file stage table serializes the
+        *next* stage's scan (a file's row groups bound its split count).
+        At real scale stage outputs already have >= par partitions and
+        this is a no-op.
         """
+        par = self.spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
         self.catalog.write(df, stage)
         out = self.catalog.read(stage)
         validated = None
+        part_rows: list[tuple[int, int]] | None = None
         if validate is not None:
-            validated = validate(out)
-        # one pass computes the per-partition lineage counts AND the total:
-        # the tiny aggregate is collected, re-uploaded, and written as the
-        # metrics table driver-side (a separate count() job per stage was
-        # pure fixed cost at high executor counts)
-        part_rows = (
-            out.withColumn("_pid", F.spark_partition_id())
-            .groupBy("_pid")
-            .agg(F.count("*").alias("rows"))
-            .collect()
-        )
-        metrics_pdf = [(int(r._pid), int(r.rows), stage) for r in part_rows]
+            v = validate(out)
+            # a validator may return (tag, per-partition rows) to donate
+            # the metrics it already computed — one job instead of two
+            if isinstance(v, tuple):
+                validated, part_rows = v
+            else:
+                validated = v
+        if part_rows is None:
+            # one pass computes the per-partition lineage counts AND the
+            # total: the tiny aggregate is collected, re-uploaded, and
+            # written as the metrics table driver-side (a separate count()
+            # job per stage was pure fixed cost at high executor counts)
+            part_rows = [
+                (int(r._pid), int(r.rows))
+                for r in out.withColumn("_pid", F.spark_partition_id())
+                .groupBy("_pid")
+                .agg(F.count("*").alias("rows"))
+                .collect()
+            ]
+        metrics_pdf = [(pid, rows_, stage) for pid, rows_ in part_rows]
         self.catalog.write(
             self.spark.createDataFrame(
                 metrics_pdf or [(0, 0, stage)], "_pid int, rows bigint, stage string"
             ),
             f"{stage}_metrics",
         )
-        rows = sum(r.rows for r in part_rows)
+        rows = sum(r for _, r in part_rows)
         manifest = {
             "stage": stage,
             "status": "complete",
@@ -205,20 +224,32 @@ class Pipeline:
                 .drop("html")
                 .withColumn("uid", F.xxhash64(F.col(cfg.id_col)))
             )
-            def _check_uid_collisions(out: DataFrame) -> str:
-                counts = out.agg(
-                    F.count("*").alias("n"), F.countDistinct("uid").alias("nu")
-                ).collect()[0]
-                if counts.n != counts.nu:
-                    raise RuntimeError(
-                        f"uid hash collision: {counts.n} rows, {counts.nu} distinct uids"
-                    )
-                return f"uid_unique:{counts.n}"
-
             # the check runs BEFORE the manifest is written: a collision
             # aborts the stage and a restarted run re-checks, instead of
-            # resuming past a 'complete' manifest with colliding uids
-            self._write_stage("extract", extracted, t0, validate=_check_uid_collisions)
+            # resuming past a 'complete' manifest with colliding uids.
+            # It doubles as the per-partition metrics pass (one job):
+            # grouping by uid exposes collisions via max(count)>1, and —
+            # collision-free — each uid's partition id carries exactly its
+            # row, so regrouping by partition yields the lineage counts.
+            def _check_and_metrics(out: DataFrame):
+                per_uid = (
+                    out.select(F.spark_partition_id().alias("_pid"), "uid")
+                    .groupBy("uid")
+                    .agg(F.count("*").alias("_c"), F.min("_pid").alias("_pid"))
+                )
+                rows = (
+                    per_uid.groupBy("_pid")
+                    .agg(F.sum("_c").alias("rows"), F.max("_c").alias("_mx"))
+                    .collect()
+                )
+                if any(r._mx > 1 for r in rows):
+                    n = sum(r.rows for r in rows)
+                    raise RuntimeError(f"uid hash collision among {n} rows")
+                return "uid_unique", [(int(r._pid), int(r.rows)) for r in rows]
+
+            self._write_stage(
+                "extract", extracted, t0, validate=_check_and_metrics
+            )
         extracted = self.catalog.read("extract")
 
         # pairs: multi-pass blocking, salted, capped, deduped — keyed on uid

@@ -52,7 +52,10 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(max(cores, 4)))
+        # 3 tasks per core (the standard Spark sizing): fine enough that
+        # a skewed straggler doesn't idle the other cores, and the floor
+        # AQE's parallelismFirst coalescing respects
+        .config("spark.default.parallelism", str(max(cores * 3, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -63,6 +66,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # binary html columns can make fat rows; keep broadcasts conservative
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # file-scan split sizing: splits = totalBytes/defaultParallelism
+        # floored by openCostInBytes. The 4 MB default floor leaves a
+        # ~25 MB compressed-text corpus at <8 tasks even with 16+ cores;
+        # ER stages do heavy CPU per input byte (extract UDF, 48-perm
+        # minhash), so small splits are right. At 100 TB the
+        # bytes-per-core term dominates and this floor is irrelevant.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # stage outputs: multiple row groups per file so downstream
+        # scans can split single files (parquet writer flush size)
+        .config("spark.hadoop.parquet.block.size", str(8 * 1024 * 1024))
     )
     # shuffle spill dir: prefer tmpfs when present (the local analogue of
     # pointing spark.local.dir at executor-local NVMe on a real cluster);
@@ -81,7 +94,7 @@ def get_spark(
 
 
 def _master_cores(master: str) -> int:
-    """Parse the core count out of a local[N] master string."""
+    """Parse the total core count out of local[N] / local-cluster[N,C,mem]."""
     if master.startswith("local[") and master.endswith("]"):
         inner = master[len("local[") : -1]
         if inner == "*":
@@ -90,4 +103,13 @@ def _master_cores(master: str) -> int:
             return int(inner)
         except ValueError:
             return 4
+    if master.startswith("local-cluster[") and master.endswith("]"):
+        # N executors x C cores: defaultParallelism must track the real
+        # core count or scan-split sizing and repartition targets are
+        # computed for the wrong cluster size
+        try:
+            n, c, _ = master[len("local-cluster[") : -1].split(",")
+            return int(n) * int(c)
+        except ValueError:
+            return os.cpu_count() or 4
     return os.cpu_count() or 4

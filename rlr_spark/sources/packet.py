@@ -108,14 +108,26 @@ class ReviewSession:
             # warn-only, like rlr.py:151-155
             warnings.warn("Pair ids do not uniquely identify pair rows", stacklevel=2)
         pairs = init_review_columns(pairs)
+        # FULL composite key, not just the first id column — the
+        # reference's own check is single-column with a TODO
+        # (rlr.py:175-178); a packet like RLR_Home.py:96-119
+        # (["year","ein"]) must flag on the whole tuple
         self.pairs = existence_flags(
             pairs,
             self.data_l,
             self.data_r,
-            packet.file_L_ids[0],
-            packet.file_R_ids[0],
+            packet.file_L_ids,
+            packet.file_R_ids,
         )
         self.coverage = coverage_ratio(self.pairs)
+        #: live review cursor (reference rlr.py:224-228); CLReviewer
+        #: updates it and save_packet persists it
+        self.cursor = packet.curr_comp_pair_index
+
+    def save_packet(self, path: str) -> None:
+        """Persist the packet with the LIVE cursor (rlr.py:746-781)."""
+        self.packet.curr_comp_pair_index = int(self.cursor)
+        self.packet.save(path)
 
     def _validate(self) -> None:
         # id-name overlap rejected first, as in load_dataset (rlr.py:82-89)

@@ -104,3 +104,68 @@ def test_minhash_recall_vs_bruteforce(spark, web_pages_small):
     assert got <= want  # no false positives (verified by true jaccard)
     assert len(want) > 30
     assert len(got & want) / len(want) >= 0.95  # LSH recall
+
+
+def test_simhash_udf_matches_scalar_reference(spark):
+    """The vectorized (unpackbits) simhash must equal the definitional
+    per-bit majority vote computed scalar-side."""
+    from rlr_spark.functions.dedup import _token_hash64
+
+    def scalar_simhash(t: str) -> int:
+        if not t:
+            return 0
+        toks = set(t.lower().split())
+        if not toks:
+            return 0
+        acc = [0] * 64
+        for tok in toks:
+            h = _token_hash64(tok)
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        bits = 0
+        for b in range(64):
+            if acc[b] > 0:
+                bits |= 1 << b
+        # reinterpret as signed 64-bit (Spark LongType)
+        return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+    texts = [
+        "the quick brown fox",
+        "The QUICK brown fox",
+        "completely different words here",
+        "",
+        "   ",
+        "single",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+    got = {r.i: r.h for r in df.select("i", simhash64_udf("text").alias("h")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == scalar_simhash(t), (i, t)
+
+
+def test_jaccard_prefix_join_exact_vs_bruteforce(spark, web_pages_small):
+    """Prefix filtering is provably complete: the join output must EQUAL
+    the exhaustive threshold join, pair for pair."""
+    from rlr_spark.functions.dedup import jaccard_prefix_join
+    from rlr_spark.functions.similarity import token_jaccard
+
+    pages, _ = web_pages_small
+    docs = pages.select(F.col("url").alias("doc_id"), "text")
+    got = {
+        (r.l_id, r.r_id)
+        for r in jaccard_prefix_join(docs, id_col="doc_id", threshold=0.7).collect()
+    }
+    a = docs.select(F.col("doc_id").alias("l_id"), F.col("text").alias("lt"))
+    b = docs.select(F.col("doc_id").alias("r_id"), F.col("text").alias("rt"))
+    want = {
+        (r.l_id, r.r_id)
+        for r in a.crossJoin(b)
+        .where(F.col("l_id") < F.col("r_id"))
+        .withColumn("j", token_jaccard(F.col("lt"), F.col("rt")))
+        .where(F.col("j") >= 0.7)
+        .select("l_id", "r_id")
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 30
