@@ -53,8 +53,16 @@ def main() -> None:
     from rlr_spark.pipeline import Pipeline, PipelineConfig
     from rlr_spark.session import get_spark
 
+    # partition sizing tracks the DATA here, not just cores: the sf0.1
+    # bench corpus is ~30 MB compressed, so cores*1 partitions (32) beat
+    # cores*3 (96) by ~20% wall — the extra tasks are pure scheduler
+    # latency at this size. The scaling bench (BENCH/run_scaling.py)
+    # keeps 3x on its larger corpus where skew smoothing wins.
     spark = get_spark(
-        app_name="rlr_bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 8)
+        app_name="rlr_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 8),
+        extra_conf={"spark.default.parallelism": str(max(CPUS, 8))},
     )
 
     sf_name = os.path.basename(SF_DIR.rstrip("/"))

@@ -102,6 +102,30 @@ class Catalog:
             )
         )
 
+    def file_row_counts(self, name: str) -> list[tuple[int, int]] | None:
+        """Per-output-file row counts from table METADATA — no Spark job.
+
+        Parquet mode reads the file footers driver-side (one small read
+        per file); files map 1:1 to the write tasks, so this is the
+        per-partition lineage the metrics table wants. Iceberg keeps the
+        same counts in its manifest files; returns None when metadata
+        isn't directly readable (caller falls back to an aggregation).
+        """
+        if self.iceberg_catalog:
+            return None
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return None
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return None
+        files = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        return [
+            (i, pq.ParquetFile(os.path.join(p, f)).metadata.num_rows)
+            for i, f in enumerate(files)
+        ]
+
     def drop(self, name: str) -> None:
         if self.iceberg_catalog:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")

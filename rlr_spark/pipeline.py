@@ -120,15 +120,16 @@ class Pipeline:
         stage (and re-validates) instead of seeing a 'complete' manifest
         and skipping the check.
 
-        The output is rebalanced to at least the session's parallelism
-        before writing: AQE legitimately coalesces small shuffles down
-        to one partition, but a one-file stage table serializes the
-        *next* stage's scan (a file's row groups bound its split count).
-        At real scale stage outputs already have >= par partitions and
-        this is a no-op.
+        The output is rebalanced before writing only when it is REALLY
+        under-partitioned (< a third of the session's parallelism —
+        e.g. AQE coalesced a small shuffle to one partition, which would
+        serialize the next stage's scan since a file's row groups bound
+        its split count). A full repartition to exactly `par` on every
+        stage write was measurably worse: it added a whole extra shuffle
+        of the stage output just to go from 32 to 96 files.
         """
         par = self.spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        if df.rdd.getNumPartitions() < max(par // 3, 4):
             df = df.repartition(par)
         self.catalog.write(df, stage)
         out = self.catalog.read(stage)
@@ -143,10 +144,12 @@ class Pipeline:
             else:
                 validated = v
         if part_rows is None:
-            # one pass computes the per-partition lineage counts AND the
-            # total: the tiny aggregate is collected, re-uploaded, and
-            # written as the metrics table driver-side (a separate count()
-            # job per stage was pure fixed cost at high executor counts)
+            # per-file lineage counts straight from table METADATA
+            # (parquet footers / Iceberg manifests) — zero Spark jobs.
+            # A full read-back aggregation per stage was re-scanning the
+            # entire stage output just to count rows.
+            part_rows = self.catalog.file_row_counts(stage)
+        if part_rows is None:
             part_rows = [
                 (int(r._pid), int(r.rows))
                 for r in out.withColumn("_pid", F.spark_partition_id())
@@ -227,29 +230,19 @@ class Pipeline:
             # the check runs BEFORE the manifest is written: a collision
             # aborts the stage and a restarted run re-checks, instead of
             # resuming past a 'complete' manifest with colliding uids.
-            # It doubles as the per-partition metrics pass (one job):
-            # grouping by uid exposes collisions via max(count)>1, and —
-            # collision-free — each uid's partition id carries exactly its
-            # row, so regrouping by partition yields the lineage counts.
-            def _check_and_metrics(out: DataFrame):
-                per_uid = (
-                    out.select(F.spark_partition_id().alias("_pid"), "uid")
-                    .groupBy("uid")
-                    .agg(F.count("*").alias("_c"), F.min("_pid").alias("_pid"))
-                )
-                rows = (
-                    per_uid.groupBy("_pid")
-                    .agg(F.sum("_c").alias("rows"), F.max("_c").alias("_mx"))
-                    .collect()
-                )
-                if any(r._mx > 1 for r in rows):
-                    n = sum(r.rows for r in rows)
-                    raise RuntimeError(f"uid hash collision among {n} rows")
-                return "uid_unique", [(int(r._pid), int(r.rows)) for r in rows]
+            # One job; partial (map-side) aggregation keeps the shuffle
+            # to a handful of rows.
+            def _check_uid_collisions(out: DataFrame) -> str:
+                counts = out.agg(
+                    F.count("*").alias("n"), F.countDistinct("uid").alias("nu")
+                ).collect()[0]
+                if counts.n != counts.nu:
+                    raise RuntimeError(
+                        f"uid hash collision: {counts.n} rows, {counts.nu} distinct uids"
+                    )
+                return f"uid_unique:{counts.n}"
 
-            self._write_stage(
-                "extract", extracted, t0, validate=_check_and_metrics
-            )
+            self._write_stage("extract", extracted, t0, validate=_check_uid_collisions)
         extracted = self.catalog.read("extract")
 
         # pairs: multi-pass blocking, salted, capped, deduped — keyed on uid

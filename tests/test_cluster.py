@@ -6,9 +6,9 @@ from pyspark.sql import functions as F
 from rlr_spark.operators.cluster import cluster_pairs, connected_components
 
 
-def _cc(spark, edges):
+def _cc(spark, edges, **kw):
     df = spark.createDataFrame(edges, "u long, v long")
-    out = connected_components(df).collect()
+    out = connected_components(df, **kw).collect()
     return {r.node: r.entity_id for r in out}
 
 
@@ -47,6 +47,29 @@ def test_reversed_and_dense(spark):
 def test_chain_lengths(spark, n):
     assign = _cc(spark, [(i, i + 1) for i in range(n)])
     assert set(assign.values()) == {0}
+
+
+@pytest.mark.parametrize("n", [2, 7, 29])
+def test_distributed_path_matches_local(spark, n):
+    """Force the star loop (local_threshold=0) — both paths must produce
+    identical min-id assignments on the same graphs."""
+    edges = [(i, i + 1) for i in range(n)] + [(100, 101), (103, 101)]
+    dist = _cc(spark, edges, local_threshold=0)
+    loc = _cc(spark, edges)
+    assert dist == loc
+    assert set(dist.values()) == {0, 100}
+
+
+def test_dense_ids_fallback_deterministic(spark):
+    """The collision fallback dictionary: dense 0..N-1, ordered by id,
+    distributed (no single-partition window)."""
+    from rlr_spark.operators.cluster import _dense_ids
+
+    ids = spark.createDataFrame(
+        [("u3",), ("u1",), ("u2",), ("u0",)], "url string"
+    ).select(F.col("url").alias("_id")).repartition(3)
+    got = {r._id: r._nid for r in _dense_ids(ids).collect()}
+    assert got == {"u0": 0, "u1": 1, "u2": 2, "u3": 3}
 
 
 def test_cluster_pairs_string_ids(spark):
