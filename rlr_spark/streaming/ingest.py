@@ -102,3 +102,74 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def incremental_neardup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    shingle_k: int = 1,
+    bands: int = 32,
+    rows_per_band: int = 2,
+):
+    """Streaming near-dup detection: readStream -> foreachBatch
+    incremental MinHash-LSH -> verified pairs, append-only state.
+
+    Per micro-batch: band-key the NEW docs, join them against the
+    accumulated key table (plus themselves), verify candidates by exact
+    token jaccard, append verified pairs, then append the new keys/docs
+    to the accumulated tables. Each cross-batch pair is emitted exactly
+    once (the probe side is only the new rows); state is two append-only
+    parquet tables — the batch analogue of the bounded-state rule, and
+    the standard incremental-ER shape (joining a stream against itself
+    inside LSH buckets would need full-state symmetric stream-stream
+    joins).
+
+    Returns the StreamingQuery; pairs land under ``work_dir + '/pairs'``.
+    """
+    import os
+
+    from rlr_spark.functions.dedup import _verify_token_jaccard
+    from rlr_spark.operators.blocking import lsh_band_keys
+
+    keys_dir = os.path.join(work_dir, "keys")
+    docs_dir = os.path.join(work_dir, "docs")
+    pairs_dir = os.path.join(work_dir, "pairs")
+
+    def _read_or_empty(path: str, schema: str) -> DataFrame:
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            return spark.read.parquet(path)
+        return spark.createDataFrame([], schema)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("url", F.col(text_col).alias("text")).dropDuplicates(
+            ["url"]
+        ).localCheckpoint(eager=True)
+        new_keys = lsh_band_keys(
+            batch, "url", "text", shingle_k=shingle_k, bands=bands,
+            rows_per_band=rows_per_band,
+        ).localCheckpoint(eager=True)
+        acc_keys = _read_or_empty(keys_dir, "url string, blk_key long")
+        acc_docs = _read_or_empty(docs_dir, "url string, text string")
+        cand = incremental_pairs_batch(new_keys, acc_keys)
+        all_docs = acc_docs.unionByName(batch.select("url", "text"))
+        verified = _verify_token_jaccard(
+            cand, all_docs, "url", "text", jaccard_threshold
+        )
+        verified.write.mode("append").parquet(pairs_dir)
+        new_keys.write.mode("append").parquet(keys_dir)
+        batch.select("url", "text").write.mode("append").parquet(docs_dir)
+
+    return (
+        spark.readStream.format("parquet")
+        .schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(input_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", os.path.join(work_dir, "_ckpt"))
+        .start()
+    )

@@ -128,3 +128,45 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     # each hash emitted exactly once, with its first-seen url
     assert all(len(v) == 1 for v in per_hash.values())
     assert set(per_hash) == {"h1", "h2", "h3"}
+
+
+def test_incremental_neardup_stream(spark, tmp_path):
+    """foreachBatch incremental MinHash-LSH: a near-dup arriving in a
+    later micro-batch pairs with its batch-1 original exactly once."""
+    from rlr_spark.streaming.ingest import incremental_neardup_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")  # token-jaccard 9/11 ≈ 0.818
+    far = "one two three four five six seven eight nine ten"
+
+    src = str(tmp_path / "nd_src")
+    b1 = spark.createDataFrame(
+        [("u1", base), ("u2", far)], "url string, text string"
+    ).selectExpr(
+        "url", "cast(null as timestamp) warc_ts", "cast(null as binary) html",
+        "text", "cast(null as string) lang",
+    )
+    b2 = spark.createDataFrame(
+        [("u3", near), ("u4", base)], "url string, text string"
+    ).selectExpr(
+        "url", "cast(null as timestamp) warc_ts", "cast(null as binary) html",
+        "text", "cast(null as string) lang",
+    )
+    b1.coalesce(1).write.parquet(src + "/f1")
+    b2.coalesce(1).write.parquet(src + "/f2")
+
+    work = str(tmp_path / "nd_work")
+    q = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.l_id, r.r_id)
+        for r in spark.read.parquet(work + "/pairs").collect()
+    }
+    # u4 == base exactly; u3 is the near-dup; u2 pairs with nothing
+    assert got == {("u1", "u3"), ("u1", "u4"), ("u3", "u4")}
+    # exactly-once: no duplicated pair rows across batches
+    assert spark.read.parquet(work + "/pairs").count() == 3
