@@ -536,6 +536,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
         )
 
+    # -- two-dataset linkage: blocked L x R pairs + similarity (the
+    # reference's primary workload shape: dataL vs dataR) ------------------
+    def lr_linkage(spark, sf_dir):
+        from rlr_spark.functions.similarity import levenshtein_sim
+        from rlr_spark.operators.blocking import block_pairs_lr
+
+        cust = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+        supp = _t(spark, sf_dir, "supplier")
+        keyed_l = cust.select(
+            F.col("c_custkey").alias("l_id"), F.col("c_nationkey").alias("blk_key")
+        )
+        keyed_r = supp.select(
+            F.col("s_suppkey").alias("r_id"), F.col("s_nationkey").alias("blk_key")
+        )
+        pairs, _ = block_pairs_lr(keyed_l, keyed_r, salt_k=4)
+        lh = cust.select(F.col("c_custkey").alias("l_id"), F.col("c_name").alias("_ln"))
+        rh = supp.select(F.col("s_suppkey").alias("r_id"), F.col("s_name").alias("_rn"))
+        return (
+            pairs.join(lh, "l_id")
+            .join(F.broadcast(rh), "r_id")
+            .select(
+                "l_id",
+                "r_id",
+                F.round(levenshtein_sim(F.col("_ln"), F.col("_rn"), max_len=60), 6).alias(
+                    "name_sim"
+                ),
+            )
+        )
+
     # -- EM weight fitting (Winkler 1988), value-checked: the oracle runs
     # the identical 20 fixed iterations as a recursive CTE --------------------
     def em_weights(spark, sf_dir):
@@ -649,6 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "emb_ann_lsh": emb_ann_lsh,
         "emb_ann_ivf": emb_ann_ivf,
+        "lr_linkage": lr_linkage,
         "em_weights": em_weights,
         "text_quality": text_quality,
         "packet_roundtrip": packet_roundtrip,
@@ -999,6 +1029,19 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, cos_sim, rank::INTEGER AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "lr_linkage": """
+            SELECT c.c_custkey AS l_id, s.s_suppkey AS r_id,
+                   round(CASE WHEN greatest(length(substr(trim(lower(c.c_name)), 1, 60)),
+                                            length(substr(trim(lower(s.s_name)), 1, 60))) = 0
+                              THEN 1.0
+                              ELSE 1.0 - levenshtein(substr(trim(lower(c.c_name)), 1, 60),
+                                                     substr(trim(lower(s.s_name)), 1, 60))::DOUBLE
+                                   / greatest(length(substr(trim(lower(c.c_name)), 1, 60)),
+                                              length(substr(trim(lower(s.s_name)), 1, 60)))::DOUBLE
+                          END, 6) AS name_sim
+            FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+            WHERE c.c_custkey <= 300
         """,
         "em_weights": """
             -- the EM loop (scoring.estimate_mu_em, Winkler 1988) as a

@@ -222,6 +222,89 @@ def block_pairs(
     return pairs, stats
 
 
+def block_pairs_lr(
+    keyed_l: DataFrame,
+    keyed_r: DataFrame,
+    id_col_l: str = "l_id",
+    id_col_r: str = "r_id",
+    key_col: str = "blk_key",
+    salt_k: int = 4,
+    max_block_size: int | None = None,
+    salt_threshold: int = 512,
+    pass_name: str = "block_lr",
+) -> tuple[DataFrame, BlockStats]:
+    """TWO-DATASET candidate pairs within blocking keys: L x R per key.
+
+    The linkage (not dedup) form of :func:`block_pairs` — the
+    reference's primary workload is matching two different datasets
+    (rlr.py loads dataL and dataR; RLR_Home.py:96-119). No ``l < r``
+    canonicalization (the id spaces are disjoint); a pair appears once
+    per distinct (l_id, r_id) regardless of how many keys it shares.
+
+    Skew handling mirrors the self-join: blocks whose L-side exceeds
+    ``salt_threshold`` rows spread over ``salt_k`` reducers (L rows get
+    a deterministic salt, R rows replicate across the grid). Blocks
+    with more than ``max_block_size`` rows on either side are dropped
+    AND logged via the returned :class:`BlockStats`.
+    """
+    left = keyed_l.select(F.col(id_col_l), F.col(key_col)).where(
+        F.col(key_col).isNotNull()
+    ).localCheckpoint(eager=False)
+    right = keyed_r.select(F.col(id_col_r), F.col(key_col)).where(
+        F.col(key_col).isNotNull()
+    ).localCheckpoint(eager=False)
+
+    l_sizes = left.groupBy(key_col).agg(F.count("*").alias("_ln"))
+    r_sizes = right.groupBy(key_col).agg(F.count("*").alias("_rn"))
+    sizes = l_sizes.join(r_sizes, key_col, "inner")  # keys present on both sides
+    if max_block_size is not None:
+        agg = sizes.agg(
+            F.count("*").alias("nb"),
+            F.sum(
+                F.when(
+                    (F.col("_ln") > max_block_size) | (F.col("_rn") > max_block_size), 1
+                ).otherwise(0)
+            ).alias("nd"),
+            F.sum(
+                F.when(
+                    (F.col("_ln") > max_block_size) | (F.col("_rn") > max_block_size),
+                    F.col("_ln") + F.col("_rn"),
+                ).otherwise(0)
+            ).alias("nr"),
+        ).collect()[0]
+        stats = BlockStats(pass_name, int(agg.nb), int(agg.nd or 0), int(agg.nr or 0))
+        kept = sizes.where(
+            (F.col("_ln") <= max_block_size) & (F.col("_rn") <= max_block_size)
+        )
+    else:
+        stats = BlockStats(pass_name, -1, 0, 0)
+        kept = sizes
+
+    kept = kept.withColumn(
+        "_k",
+        F.when(F.col("_ln") > salt_threshold, F.lit(salt_k)).otherwise(F.lit(1)),
+    ).select(key_col, "_k")
+
+    l_salted = left.join(kept, key_col).select(
+        key_col,
+        F.col(id_col_l),
+        F.pmod(F.xxhash64(F.col(id_col_l)), F.col("_k").cast("long")).alias("_salt"),
+    )
+    r_salted = right.join(kept, key_col).select(
+        key_col,
+        F.col(id_col_r),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (F.col("_k") - 1).cast("long"))
+        ).alias("_salt"),
+    )
+    pairs = (
+        l_salted.join(r_salted, [key_col, "_salt"])
+        .select(id_col_l, id_col_r)
+        .dropDuplicates([id_col_l, id_col_r])
+    )
+    return pairs, stats
+
+
 def candidate_pairs(
     pages: DataFrame,
     id_col: str = "url",

@@ -130,3 +130,39 @@ def test_adaptive_salt_invariance_mixed_sizes(spark):
             assert len(base) == 40 * 39 // 2 + 1
         else:
             assert got == base, (thr, k)
+
+
+def test_block_pairs_lr_two_datasets(spark):
+    """Two-dataset linkage blocking: L x R within keys, no self-pairing,
+    dedup across shared keys, salt-invariant."""
+    from rlr_spark.operators.blocking import block_pairs_lr
+
+    L = spark.createDataFrame(
+        [("a1", "k1"), ("a2", "k1"), ("a3", "k2"), ("a4", "k9")],
+        "l_id string, blk_key string",
+    )
+    R = spark.createDataFrame(
+        # b1 carries k1 twice -> the (a1,b1)/(a2,b1) pairs must not duplicate
+        [("b1", "k1"), ("b1", "k1"), ("b2", "k2"), ("b3", "k3")],
+        "r_id string, blk_key string",
+    )
+    want = {("a1", "b1"), ("a2", "b1"), ("a3", "b2")}
+    for k in (1, 4):
+        pairs, stats = block_pairs_lr(L, R, salt_k=k)
+        got = {(r.l_id, r.r_id) for r in pairs.collect()}
+        assert got == want, k
+
+
+def test_block_pairs_lr_caps_and_logs(spark):
+    from rlr_spark.operators.blocking import block_pairs_lr
+
+    L = spark.createDataFrame(
+        [(f"a{i}", "hot") for i in range(30)] + [("x", "cold")],
+        "l_id string, blk_key string",
+    )
+    R = spark.createDataFrame(
+        [("b1", "hot"), ("y", "cold")], "r_id string, blk_key string"
+    )
+    pairs, stats = block_pairs_lr(L, R, max_block_size=10)
+    assert {(r.l_id, r.r_id) for r in pairs.collect()} == {("x", "y")}
+    assert stats.n_dropped_blocks == 1
