@@ -121,6 +121,11 @@ class Catalog:
         if not os.path.isdir(p):
             return None
         files = sorted(f for f in os.listdir(p) if f.endswith(".parquet"))
+        if not files:
+            # e.g. a partition_by write nests files in subdirectories;
+            # None (not []) makes the caller fall back to a real
+            # aggregation instead of silently recording rows=0
+            return None
         return [
             (i, pq.ParquetFile(os.path.join(p, f)).metadata.num_rows)
             for i, f in enumerate(files)

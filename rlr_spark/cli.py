@@ -85,7 +85,13 @@ class CLReviewer:
         self.pairs: DataFrame = session.pairs
         # ordered pair keys, collected once: the positional cursor's
         # source of truth (the reference holds the whole table in pandas;
-        # we hold only the key tuples)
+        # we hold only the key tuples). INTENTIONAL DEVIATION from the
+        # reference: the cursor is positional over the KEY-SORTED order,
+        # not the comps-file row order (rlr.py:224-228) — a distributed
+        # scan has no stable row order, so key order is the only
+        # deterministic one. A packet saved by the reference therefore
+        # resumes at the same ORDINAL position but possibly a different
+        # pair; packets round-trip exactly within this tool.
         self.keys = [
             tuple(r) for r in self.pairs.select(*self.key_cols).orderBy(*self.key_cols).collect()
         ]

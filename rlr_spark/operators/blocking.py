@@ -241,9 +241,13 @@ def block_pairs_lr(
     canonicalization (the id spaces are disjoint); a pair appears once
     per distinct (l_id, r_id) regardless of how many keys it shares.
 
-    Skew handling mirrors the self-join: blocks whose L-side exceeds
-    ``salt_threshold`` rows spread over ``salt_k`` reducers (L rows get
-    a deterministic salt, R rows replicate across the grid). Blocks
+    Skew handling mirrors the self-join, but is TWO-SIDED: a block is
+    salted when EITHER side exceeds ``salt_threshold`` (linkage blocks
+    are routinely lopsided — few customers per nation, many suppliers —
+    and an L-side-only test would leave an _ln×_rn hot block on one
+    reducer whenever only R is big). The LARGER side of the block is
+    hash-salted (so its rows actually spread over the ``salt_k``
+    reducers) and the smaller side replicates across the grid. Blocks
     with more than ``max_block_size`` rows on either side are dropped
     AND logged via the returned :class:`BlockStats`.
     """
@@ -282,19 +286,35 @@ def block_pairs_lr(
 
     kept = kept.withColumn(
         "_k",
-        F.when(F.col("_ln") > salt_threshold, F.lit(salt_k)).otherwise(F.lit(1)),
-    ).select(key_col, "_k")
+        F.when(
+            F.greatest(F.col("_ln"), F.col("_rn")) > salt_threshold, F.lit(salt_k)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        # hash-salt the LARGER side: salting partitions the salted side's
+        # rows across reducers, so salting the small side of a lopsided
+        # block (3 customers x 1M suppliers) would use <=3 of the k salts
+        "_salt_l", F.col("_ln") >= F.col("_rn"),
+    ).select(key_col, "_k", "_salt_l")
 
+    def _hashed(id_c: str) -> Column:
+        return F.pmod(F.xxhash64(F.col(id_c)), F.col("_k").cast("long"))
+
+    _grid = F.sequence(F.lit(0).cast("long"), (F.col("_k") - 1).cast("long"))
+    # one row (its hash salt) on the salted side; the full salt grid on
+    # the replicated side — a conditional ARRAY under a single explode,
+    # because generators can't nest inside CASE WHEN
     l_salted = left.join(kept, key_col).select(
         key_col,
         F.col(id_col_l),
-        F.pmod(F.xxhash64(F.col(id_col_l)), F.col("_k").cast("long")).alias("_salt"),
+        F.explode(
+            F.when(F.col("_salt_l"), F.array(_hashed(id_col_l))).otherwise(_grid)
+        ).alias("_salt"),
     )
     r_salted = right.join(kept, key_col).select(
         key_col,
         F.col(id_col_r),
         F.explode(
-            F.sequence(F.lit(0).cast("long"), (F.col("_k") - 1).cast("long"))
+            F.when(F.col("_salt_l"), _grid).otherwise(F.array(_hashed(id_col_r)))
         ).alias("_salt"),
     )
     pairs = (

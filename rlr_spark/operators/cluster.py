@@ -234,9 +234,13 @@ def cluster_pairs(
     """
     ids = all_ids.select(F.col(id_col).alias("_id")).distinct()
     hashed = ids.select("_id", F.xxhash64("_id").alias("_nid"))
-    n_ids = hashed.count()
-    n_hash = hashed.select("_nid").distinct().count()
-    if n_hash != n_ids:
+    # ONE pass over the dictionary (count + countDistinct fuse into a
+    # single aggregation job) — at 10^12 ids a second full scan just to
+    # detect the ~never collision would double the dictionary cost
+    counts = hashed.agg(
+        F.count("*").alias("n"), F.countDistinct("_nid").alias("nh")
+    ).collect()[0]
+    if int(counts.nh) != int(counts.n):
         hashed = _dense_ids(ids)
 
     le = hashed.select(F.col("_id").alias("l_id"), F.col("_nid").alias("u"))

@@ -120,17 +120,17 @@ class Pipeline:
         stage (and re-validates) instead of seeing a 'complete' manifest
         and skipping the check.
 
-        The output is rebalanced before writing only when it is REALLY
-        under-partitioned (< a third of the session's parallelism —
-        e.g. AQE coalesced a small shuffle to one partition, which would
-        serialize the next stage's scan since a file's row groups bound
-        its split count). A full repartition to exactly `par` on every
-        stage write was measurably worse: it added a whole extra shuffle
-        of the stage output just to go from 32 to 96 files.
+        No pre-write partition probe: ``df.rdd.getNumPartitions()`` on a
+        shuffle plan finalizes the AQE plan by RUNNING the upstream
+        shuffle map stages (verified on Spark 4.1), whose work then
+        re-executes during the actual write — roughly doubling per-stage
+        shuffle cost for the pairs/score/cluster plans. Write-side
+        parallelism is instead left to AQE's coalescing floor
+        (``coalescePartitions.parallelismFirst``, on by default, keeps
+        shuffle outputs at the session parallelism unless partitions are
+        tiny), and stage INPUTS are rebalanced in ``run()`` where the
+        probe is a metadata-only file-scan split count.
         """
-        par = self.spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < max(par // 3, 4):
-            df = df.repartition(par)
         self.catalog.write(df, stage)
         out = self.catalog.read(stage)
         validated = None

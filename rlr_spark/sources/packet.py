@@ -142,9 +142,10 @@ class ReviewSession:
             missing = [c for c in ids if c not in df.columns]
             if missing:
                 raise AssertionError(f"data{side} missing id columns {missing}")
-            total = df.count()
-            distinct = df.select(*ids).distinct().count()
-            if total != distinct:
+            counts = df.agg(
+                F.count("*").alias("n"), F.countDistinct(*ids).alias("nd")
+            ).collect()[0]
+            if int(counts.n) != int(counts.nd):
                 raise AssertionError(f"ids {ids} do not uniquely identify data{side}")
         # var-schema columns exist (rlr.py:253-256)
         for g in self.packet.var_group_schema:

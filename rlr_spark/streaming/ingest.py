@@ -120,12 +120,23 @@ def incremental_neardup_stream(
     Per micro-batch: band-key the NEW docs, join them against the
     accumulated key table (plus themselves), verify candidates by exact
     token jaccard, append verified pairs, then append the new keys/docs
-    to the accumulated tables. Each cross-batch pair is emitted exactly
-    once (the probe side is only the new rows); state is two append-only
-    parquet tables — the batch analogue of the bounded-state rule, and
-    the standard incremental-ER shape (joining a stream against itself
-    inside LSH buckets would need full-state symmetric stream-stream
-    joins).
+    to the accumulated tables. The probe side is only the new rows, so
+    a pair is computed in the batch where its second member arrives;
+    state is two append-only parquet tables — the batch analogue of the
+    bounded-state rule, and the standard incremental-ER shape (joining a
+    stream against itself inside LSH buckets would need full-state
+    symmetric stream-stream joins).
+
+    Delivery semantics: ``foreachBatch`` is AT-LEAST-ONCE on restart, so
+    two guards make the state effectively idempotent: (a) a per-batch
+    marker file skips batch_ids whose appends all completed, and (b) new
+    urls are anti-joined against the accumulated docs table, so a
+    replayed batch whose docs append DID land (or a url recurring in a
+    later input file) never duplicates state or re-emits its pairs. The
+    one remaining window — a crash after the pairs append but before the
+    docs append — can duplicate rows in the pairs table only (state
+    stays consistent); consumers should ``dropDuplicates(l_id, r_id)``
+    on read, or the sinks should be an ACID table format in production.
 
     Returns the StreamingQuery; pairs land under ``work_dir + '/pairs'``.
     """
@@ -137,6 +148,8 @@ def incremental_neardup_stream(
     keys_dir = os.path.join(work_dir, "keys")
     docs_dir = os.path.join(work_dir, "docs")
     pairs_dir = os.path.join(work_dir, "pairs")
+    applied_dir = os.path.join(work_dir, "_applied")
+    os.makedirs(applied_dir, exist_ok=True)
 
     def _read_or_empty(path: str, schema: str) -> DataFrame:
         if os.path.isdir(path) and any(
@@ -146,15 +159,22 @@ def incremental_neardup_stream(
         return spark.createDataFrame([], schema)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select("url", F.col(text_col).alias("text")).dropDuplicates(
-            ["url"]
-        ).localCheckpoint(eager=True)
+        marker = os.path.join(applied_dir, f"batch_{batch_id}")
+        if os.path.exists(marker):  # fully-applied batch replayed: skip
+            return
+        acc_docs = _read_or_empty(docs_dir, "url string, text string")
+        batch = (
+            batch_df.select("url", F.col(text_col).alias("text"))
+            .dropDuplicates(["url"])
+            # recurring or partially-replayed urls are already state
+            .join(acc_docs.select("url"), "url", "left_anti")
+            .localCheckpoint(eager=True)
+        )
         new_keys = lsh_band_keys(
             batch, "url", "text", shingle_k=shingle_k, bands=bands,
             rows_per_band=rows_per_band,
         ).localCheckpoint(eager=True)
         acc_keys = _read_or_empty(keys_dir, "url string, blk_key long")
-        acc_docs = _read_or_empty(docs_dir, "url string, text string")
         cand = incremental_pairs_batch(new_keys, acc_keys)
         all_docs = acc_docs.unionByName(batch.select("url", "text"))
         verified = _verify_token_jaccard(
@@ -163,6 +183,9 @@ def incremental_neardup_stream(
         verified.write.mode("append").parquet(pairs_dir)
         new_keys.write.mode("append").parquet(keys_dir)
         batch.select("url", "text").write.mode("append").parquet(docs_dir)
+        with open(marker + ".tmp", "w") as f:
+            f.write("applied")
+        os.replace(marker + ".tmp", marker)  # atomic: kill-safe
 
     return (
         spark.readStream.format("parquet")

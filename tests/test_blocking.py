@@ -153,6 +153,28 @@ def test_block_pairs_lr_two_datasets(spark):
         assert got == want, k
 
 
+def test_block_pairs_lr_lopsided_salting_invariance(spark):
+    """A block hot on EITHER side triggers salting (the larger side is
+    hash-salted, the smaller replicated); the pair set is invariant in
+    (salt_k, salt_threshold) both when L is big and when R is big."""
+    from rlr_spark.operators.blocking import block_pairs_lr
+
+    big = [(f"b{i}", "k") for i in range(40)]
+    small = [("s1", "k"), ("s2", "k")]
+    for l_rows, r_rows in ((big, small), (small, big)):
+        L = spark.createDataFrame(l_rows, "l_id string, blk_key string")
+        R = spark.createDataFrame(r_rows, "r_id string, blk_key string")
+        base = None
+        for thr, k in [(1000, 1), (10, 4), (1, 8)]:
+            pairs, _ = block_pairs_lr(L, R, salt_k=k, salt_threshold=thr)
+            got = frozenset((r.l_id, r.r_id) for r in pairs.collect())
+            if base is None:
+                base = got
+                assert len(base) == 80
+            else:
+                assert got == base, (thr, k, len(l_rows))
+
+
 def test_block_pairs_lr_caps_and_logs(spark):
     from rlr_spark.operators.blocking import block_pairs_lr
 

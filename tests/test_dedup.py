@@ -103,7 +103,11 @@ def test_minhash_recall_vs_bruteforce(spark, web_pages_small):
 
     assert got <= want  # no false positives (verified by true jaccard)
     assert len(want) > 30
-    assert len(got & want) / len(want) >= 0.95  # LSH recall
+    # DEFAULT parameters are word-level (shingle_k=1, b=32, r=2): the
+    # banding hashes the same token-set similarity the verify filter
+    # measures, so a default call recalls every pair the threshold
+    # admits (collision prob at j=0.7 is 1-(1-0.49)^32 ~ 1-4e-10)
+    assert got == want
 
 
 def test_simhash_udf_matches_scalar_reference(spark):

@@ -99,6 +99,21 @@ def test_merge_upsert_parquet(spark, tmp_path):
     assert rows == {1: "Match", 2: "", 3: "x"}
 
 
+def test_file_row_counts_nested_files_fall_back(spark, tmp_path):
+    """A partitioned write nests parquet files in subdirectories; the
+    metadata reader must return None (not []) so the caller's real
+    aggregation fallback engages instead of recording rows=0."""
+    from rlr_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, part string")
+    cat.write(df, "nested", partition_by=["part"])
+    assert cat.file_row_counts("nested") is None
+    cat.write(df, "flat")
+    counts = cat.file_row_counts("flat")
+    assert counts is not None and sum(r for _, r in counts) == 2
+
+
 def test_stata_roundtrip(spark, tmp_path):
     """S2/S5: .dta side channel (reference rlr.py:68,693) — small-file only."""
     from rlr_spark.sources.readers import read_stata

@@ -170,3 +170,29 @@ def test_incremental_neardup_stream(spark, tmp_path):
     assert got == {("u1", "u3"), ("u1", "u4"), ("u3", "u4")}
     # exactly-once: no duplicated pair rows across batches
     assert spark.read.parquet(work + "/pairs").count() == 3
+
+    # --- at-least-once replay guards -------------------------------------
+    # a restart with a WIPED checkpoint replays every batch; the
+    # per-batch markers + the anti-join against accumulated docs must
+    # keep pairs and state byte-identical (no duplicate emission)
+    import shutil
+
+    shutil.rmtree(work + "/_ckpt")
+    # a recurring url (u1 again) plus one genuinely new unrelated doc
+    b3 = spark.createDataFrame(
+        [("u1", base), ("u5", "mu nu xi omicron pi rho sigma tau")],
+        "url string, text string",
+    ).selectExpr(
+        "url", "cast(null as timestamp) warc_ts", "cast(null as binary) html",
+        "text", "cast(null as string) lang",
+    )
+    b3.coalesce(1).write.parquet(src + "/f3")
+    q2 = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(work + "/pairs").count() == 3  # nothing re-emitted
+    # recurring u1 was anti-joined away: state holds one row per url
+    docs = spark.read.parquet(work + "/docs")
+    assert docs.count() == docs.select("url").distinct().count() == 5
