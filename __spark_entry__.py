@@ -610,6 +610,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents")
         return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
+    # -- benchmark decontamination: hashed 5-gram overlap of "training"
+    # docs (doc_id % 20 != 0) vs the "benchmark" slice (% 20 == 0); the
+    # oracle joins on the gram STRINGS while the engine joins on
+    # xxhash64(gram) longs — equal results prove the hashed path exact --
+    def decontaminate(spark, sf_dir):
+        from rlr_spark.functions.decontam import decontaminate as _decon
+
+        d = _t(spark, sf_dir, "documents")
+        train = d.where(F.col("doc_id") % 20 != 0)
+        bench = d.where(F.col("doc_id") % 20 == 0)
+        return _decon(train, bench, n=5, threshold=0.1)
+
+    # -- Gopher-style repetition filters over documents; this corpus has
+    # no newlines, so line_sep=\s+ exercises the token-level degenerate
+    # (duplicate-token fraction) — newline corpora are pytest-covered ----
+    def text_repetition(spark, sf_dir):
+        from rlr_spark.functions.text import repetition_stats
+
+        d = _t(spark, sf_dir, "documents")
+        return repetition_stats(d, line_sep=r"\s+")
+
+    # -- streaming replay == batch equivalence: documents split into 3
+    # deterministic files, replayed through the foreachBatch incremental
+    # near-dup stream (1 file per micro-batch); the final pairs table
+    # must equal the BATCH brute-force jaccard >= 0.8 set — proving
+    # stream/batch equivalence AND single emission across batches -------
+    def stream_neardup_replay(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from rlr_spark.streaming.ingest import incremental_neardup_stream
+
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"rlr_stream_replay_{os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        src, work = os.path.join(base, "src"), os.path.join(base, "work")
+        d = _t(spark, sf_dir, "documents").select(
+            F.concat(F.lit("u"), F.col("doc_id")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            F.lit(None).cast("string").alias("lang"),
+            F.col("doc_id").alias("_b"),
+        )
+        for b in range(3):
+            d.where(F.col("_b") % 3 == b).drop("_b").coalesce(1).write.parquet(
+                f"{src}/b{b}"
+            )
+        q = incremental_neardup_stream(
+            spark, src + "/*", work, jaccard_threshold=0.8
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        pairs = spark.read.parquet(os.path.join(work, "pairs"))
+        lid = F.substring("l_id", 2, 30).cast("long")
+        rid = F.substring("r_id", 2, 30).cast("long")
+        # re-canonicalize numerically: the stream orders pair ids
+        # lexicographically over urls ("u10" < "u9")
+        return pairs.select(
+            F.least(lid, rid).alias("l_id"),
+            F.greatest(lid, rid).alias("r_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+
+    # -- IVF with a TRAINED quantizer (1 Lloyd round), value-checked:
+    # the oracle reruns the identical round in SQL — first-8 init,
+    # strict-> argmax assignment, per-(cell,dim) AVG update, empty cells
+    # keep their init — then the n_probe=2 probe over the new centroids
+    def emb_ann_ivf_trained(spark, sf_dir):
+        from rlr_spark.functions.embeddings import ivf_topk, train_ivf_centroids
+
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        q = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        centroids = train_ivf_centroids(e, k=8, n_iter=1)
+        return ivf_topk(e, q, centroids, k=5, n_probe=2).select(
+            "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
+        )
+
     # -- review-packet JSON round-trip (S6): save -> load -> live cursor ->
     # save -> reload; the returned row is the reloaded packet state ----------
     def packet_roundtrip(spark, sf_dir):
@@ -682,6 +768,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "em_weights": em_weights,
         "text_quality": text_quality,
         "packet_roundtrip": packet_roundtrip,
+        "decontaminate": decontaminate,
+        "text_repetition": text_repetition,
+        "stream_neardup_replay": stream_neardup_replay,
+        "emb_ann_ivf_trained": emb_ann_ivf_trained,
     }
 
 
@@ -1132,6 +1222,133 @@ def oracle_sql() -> dict[str, str]:
         "packet_roundtrip": """
             SELECT 'c_custkey' AS l_id_col, 's_suppkey' AS r_id_col,
                    1 AS n_groups, 2 AS n_labels, 7 AS cursor
+        """,
+        "decontaminate": r"""
+            -- hashed-gram engine vs STRING-gram oracle: equal results
+            -- prove the xxhash64 join path collision-free on this data
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 5
+                          THEN list_distinct(list_transform(range(1, len(t) - 3),
+                                 i -> array_to_string(list_slice(t, i, i + 4), ' ')))
+                          ELSE []::VARCHAR[] END AS g
+              FROM toks),
+            bench_g AS (
+              SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 20 = 0),
+            train AS (SELECT doc_id, g FROM grams WHERE doc_id % 20 <> 0),
+            expl AS (SELECT doc_id, unnest(g) AS gram FROM train),
+            hits AS (
+              SELECT e.doc_id, count(*)::BIGINT AS n_grams,
+                     sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap
+              FROM expl e LEFT JOIN bench_g b USING (gram)
+              GROUP BY e.doc_id)
+            SELECT tr.doc_id,
+                   coalesce(h.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(h.n_overlap, 0)::BIGINT AS n_overlap,
+                   round(CASE WHEN coalesce(h.n_grams, 0) = 0 THEN 0.0
+                              ELSE h.n_overlap::DOUBLE / h.n_grams::DOUBLE END, 6) AS contamination,
+                   (CASE WHEN coalesce(h.n_grams, 0) = 0 THEN 0.0
+                         ELSE h.n_overlap::DOUBLE / h.n_grams::DOUBLE END) >= 0.1 AS is_contaminated
+            FROM train tr LEFT JOIN hits h USING (doc_id)
+        """,
+        "text_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+              FROM documents),
+            seg AS (SELECT doc_id, t, list_filter(t, x -> x <> '') AS s FROM toks),
+            base AS (
+              SELECT doc_id,
+                     len(s)::INTEGER AS n_lines,
+                     round(CASE WHEN len(s) = 0 THEN 0.0
+                                ELSE coalesce(list_sum(list_transform(list_distinct(s),
+                                       d -> CASE WHEN len(list_filter(s, x -> x = d)) > 1
+                                                 THEN len(list_filter(s, x -> x = d))
+                                                 ELSE 0 END)), 0)::DOUBLE / len(s)::DOUBLE
+                            END, 6) AS dup_line_frac,
+                     round(CASE WHEN coalesce(list_sum(list_transform(s, x -> length(x))), 0) = 0
+                                THEN 0.0
+                                ELSE coalesce(list_sum(list_transform(list_distinct(s),
+                                       d -> CASE WHEN len(list_filter(s, x -> x = d)) > 1
+                                                 THEN len(list_filter(s, x -> x = d)) * length(d)
+                                                 ELSE 0 END)), 0)::DOUBLE
+                                     / list_sum(list_transform(s, x -> length(x)))::DOUBLE
+                            END, 6) AS dup_line_char_frac,
+                     round(CASE WHEN len(t) = 0 THEN 0.0
+                                ELSE len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                                     / len(t)::DOUBLE
+                            END, 6) AS frac_alpha_tokens,
+                     len(t) AS n_tok
+              FROM seg),
+            grams AS (
+              SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+                       THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                       ELSE []::VARCHAR[] END) AS g
+              FROM toks),
+            top2 AS (
+              SELECT doc_id, max(c) AS top_cnt FROM (
+                SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+              GROUP BY doc_id)
+            SELECT b.doc_id, b.n_lines, b.dup_line_frac, b.dup_line_char_frac,
+                   b.frac_alpha_tokens,
+                   coalesce(t2.top_cnt, 0)::BIGINT AS top2gram_count,
+                   round(CASE WHEN b.n_tok = 0 OR t2.top_cnt IS NULL THEN 0.0
+                              ELSE 2.0 * t2.top_cnt::DOUBLE / b.n_tok::DOUBLE END, 6) AS top2gram_mass
+            FROM base b LEFT JOIN top2 t2 USING (doc_id)
+        """,
+        "stream_neardup_replay": _BRUTE_JAC_SQL,
+        "emb_ann_ivf_trained": """
+            -- one Lloyd round mirrored exactly: first-8 init, strict->
+            -- argmax assignment (ties -> smallest cell), per-(cell,dim)
+            -- AVG update (empty cells keep init), then the n_probe=2
+            -- probe over the UPDATED centroids (query ties -> larger
+            -- cell, as the reversed array_sort in _nearest_cells)
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cent0 AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+              FROM e ORDER BY vec_id LIMIT 8),
+            asg0 AS (
+              SELECT vec_id, v, c AS cell FROM (
+                SELECT e.vec_id, e.v, cent0.c,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, cent0.cv) DESC, cent0.c) AS rn
+                FROM e CROSS JOIN cent0) WHERE rn = 1),
+            upd AS (
+              SELECT a.cell, d.i AS dim, avg(list_extract(a.v, d.i)) AS m
+              FROM asg0 a CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+              GROUP BY a.cell, d.i),
+            cent1 AS (
+              SELECT c0.c, coalesce(u.vs, c0.cv) AS cv
+              FROM cent0 c0 LEFT JOIN (
+                SELECT cell, list(m ORDER BY dim) AS vs FROM upd GROUP BY cell) u
+              ON c0.c = u.cell),
+            asg1 AS (
+              SELECT vec_id, v, c AS cell FROM (
+                SELECT e.vec_id, e.v, cent1.c,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, cent1.cv) DESC, cent1.c) AS rn
+                FROM e CROSS JOIN cent1) WHERE rn = 1),
+            qc AS (
+              SELECT query_id, qv, c AS cell FROM (
+                SELECT e.vec_id AS query_id, e.v AS qv, cent1.c,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, cent1.cv) DESC, cent1.c DESC) AS rn
+                FROM e CROSS JOIN cent1 WHERE e.vec_id < 3) WHERE rn <= 2),
+            scored AS (
+              SELECT qc.query_id, a.vec_id, list_cosine_similarity(qc.qv, a.v) AS cs
+              FROM asg1 a JOIN qc ON a.cell = qc.cell),
+            ranked AS (
+              SELECT query_id, vec_id, round(cs, 4) AS cos_sim,
+                     row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rank
+              FROM scored)
+            SELECT query_id, vec_id, cos_sim, rank::INTEGER AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "cc_clusters": f"""
             WITH RECURSIVE sc AS ({_FS_SQL}),

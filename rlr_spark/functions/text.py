@@ -125,6 +125,129 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+def repetition_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_sep: str = r"\n",
+    para_sep: str | None = None,
+):
+    """Gopher-style repetition filters, per document.
+
+    Returns (id, n_lines, dup_line_frac, dup_line_char_frac,
+    [dup_para_frac,] top2gram_count, top2gram_mass, frac_alpha_tokens):
+
+    - ``dup_line_frac`` — fraction of ``line_sep``-separated segments
+      that are exact duplicates of ANOTHER segment in the same doc
+      (all occurrences of a repeated segment count, per the published
+      definition: 3 lines ``a,b,a`` -> 2/3);
+    - ``dup_line_char_frac`` — fraction of segment CHARACTERS that sit
+      in duplicated segments (the published filters threshold both);
+    - ``dup_para_frac`` — same over ``para_sep`` (only when given);
+    - ``top2gram_mass`` — fraction of tokens covered by the most
+      frequent token 2-gram (``2 * count(top 2-gram) / n_tokens``);
+    - ``frac_alpha_tokens`` — fraction of tokens containing a letter.
+
+    ``line_sep``/``para_sep`` are regexes; a corpus without newlines can
+    pass ``line_sep=r"\\s+"`` to get the token-level degenerate
+    (duplicate-token fraction), which is still a useful repetition
+    signal.
+
+    Scale: the line metrics are pure per-row array expressions (the
+    duplicated-chars term is O(L^2) in a doc's SEGMENT count — tens to
+    hundreds — not its length); the top-2-gram term is an
+    explode + groupBy on (id, gram), a fine-grained evenly-keyed
+    shuffle. No all-pairs anything.
+    """
+    text = F.col(text_col)
+    t = F.trim(F.coalesce(text, F.lit("")))
+
+    def segments(sep: str) -> Column:
+        raw = F.when(t == "", F.array().cast("array<string>")).otherwise(
+            F.split(t, sep)
+        )
+        return F.filter(raw, lambda x: x != "")
+
+    def seg_stats(sep: str, prefix: str) -> list[Column]:
+        segs = segments(sep)
+        n = F.size(segs)
+        # every occurrence of a segment appearing >1 times is a
+        # duplicate (a,b,a -> 2 duplicate lines, not 1)
+        n_dup = F.aggregate(
+            F.array_distinct(segs),
+            F.lit(0),
+            lambda acc, d: acc
+            + F.when(
+                F.size(F.filter(segs, lambda s: s == d)) > 1,
+                F.size(F.filter(segs, lambda s: s == d)),
+            ).otherwise(F.lit(0)),
+        )
+        frac = F.when(n == 0, F.lit(0.0)).otherwise(
+            n_dup.cast("double") / n.cast("double")
+        )
+        total_chars = F.aggregate(
+            segs, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
+        )
+        # chars inside segments occurring >1 times: O(|distinct|*|segs|)
+        # equality scans — segment counts are small even for huge docs
+        dup_chars = F.aggregate(
+            F.array_distinct(segs),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc
+            + F.when(
+                F.size(F.filter(segs, lambda s: s == d)) > 1,
+                F.size(F.filter(segs, lambda s: s == d)).cast("long") * F.length(d),
+            ).otherwise(F.lit(0)),
+        )
+        char_frac = F.when(total_chars == 0, F.lit(0.0)).otherwise(
+            dup_chars.cast("double") / total_chars.cast("double")
+        )
+        out = [F.round(frac, 6).alias(f"{prefix}_frac")]
+        if prefix == "dup_line":
+            out.append(F.round(char_frac, 6).alias("dup_line_char_frac"))
+        return out
+
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    frac_alpha = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / n_tok.cast("double")
+    )
+    cols = [
+        F.col(id_col),
+        F.size(segments(line_sep)).alias("n_lines"),
+        *seg_stats(line_sep, "dup_line"),
+        *(seg_stats(para_sep, "dup_para") if para_sep is not None else []),
+        n_tok.alias("_n_tok"),
+        F.round(frac_alpha, 6).alias("frac_alpha_tokens"),
+    ]
+    base = df.select(*cols)
+
+    # F.sequence(1, 0) is a DESCENDING [1, 0], not empty — guard <2 tokens
+    g2_idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams2 = F.transform(g2_idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    top2 = (
+        df.select(F.col(id_col), F.explode(grams2).alias("_g2"))
+        .groupBy(id_col, "_g2")
+        .agg(F.count("*").alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("top2gram_count"))
+    )
+    out = base.join(top2, id_col, "left")
+    mass = F.when(
+        (F.col("_n_tok") == 0) | F.col("top2gram_count").isNull(), F.lit(0.0)
+    ).otherwise(
+        F.lit(2.0) * F.col("top2gram_count").cast("double") / F.col("_n_tok").cast("double")
+    )
+    return out.select(
+        *[c for c in out.columns if c not in ("_n_tok", "top2gram_count")],
+        F.coalesce(F.col("top2gram_count"), F.lit(0)).cast("long").alias("top2gram_count"),
+        F.round(mass, 6).alias("top2gram_mass"),
+    )
+
+
 def fingerprint_sql(col: str = "text") -> str:
     """The DuckDB-equivalent expression for :func:`fingerprint`."""
     return (

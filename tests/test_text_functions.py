@@ -79,3 +79,42 @@ def test_fingerprint_matches_duckdb_oracle(spark):
     assert duckdb.sql(
         f"SELECT {fingerprint_sql('text')} FROM (SELECT 'ab' AS text)"
     ).fetchone()[0] == 97 * 31 + 98
+
+
+def test_repetition_stats_newline_corpus(spark):
+    from rlr_spark.functions.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 3 lines of 5 chars, 'aa bb' repeated: dup lines 2/3;
+            # dup chars 10/15; paragraphs distinct
+            (1, "aa bb\ncc dd\n\naa bb"),
+            # heavy 2-gram repetition: 'x y x y x y' -> top 2-gram
+            # 'x y' count 3, 6 tokens -> mass 1.0
+            (2, "x y x y x y"),
+            # all unique, no letters in '42'
+            (3, "one 42 three"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in repetition_stats(
+            docs, line_sep=r"\n", para_sep=r"\n\n"
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1.n_lines == 3
+    assert r1.dup_line_frac == round(2 / 3, 6)
+    assert r1.dup_line_char_frac == round(10 / 15, 6)
+    assert r1.dup_para_frac == 0.0
+    r2 = out[2]
+    assert r2.top2gram_count == 3 and r2.top2gram_mass == 1.0
+    assert r2.dup_line_frac == 0.0  # one line only
+    r3 = out[3]
+    assert r3.frac_alpha_tokens == round(2 / 3, 6)
+    assert r3.top2gram_count == 1
+    r4 = out[4]
+    assert r4.n_lines == 0 and r4.dup_line_frac == 0.0
+    assert r4.top2gram_count == 0 and r4.top2gram_mass == 0.0
