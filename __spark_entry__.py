@@ -696,6 +696,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
         )
 
+    # -- the full dedup DECISION: minhash pairs -> CC -> canonical doc
+    # per duplicate cluster; oracle = recursive-CTE CC over the
+    # brute-force pair set --------------------------------------------------
+    def dedup_clusters(spark, sf_dir):
+        from rlr_spark.functions.dedup import neardup_clusters
+
+        d = _t(spark, sf_dir, "documents")
+        return neardup_clusters(d, jaccard_threshold=0.8)
+
+    # -- URL canonicalization dedup: deterministic raw-URL variants
+    # built from customer keys (scheme case, www, :80, trailing /,
+    # utm params, param order, fragment), grouped by canonical form ---------
+    def url_dedup(spark, sf_dir):
+        from rlr_spark.functions.web import canonical_url
+
+        c = _t(spark, sf_dir, "customer")
+        k = F.col("c_custkey")
+        raw = F.concat(
+            F.when(k % 2 == 0, F.lit("HTTP://")).otherwise(F.lit("http://")),
+            F.when(k % 5 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+            F.lit("shop-"), (k % 7).cast("string"), F.lit(".Example.COM"),
+            F.when(k % 3 == 0, F.lit(":80")).otherwise(F.lit("")),
+            F.lit("/item/"), (k % 10).cast("string"),
+            F.when(k % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?utm_source=mail&b="), (k % 2).cast("string"), F.lit("&a=1"),
+            F.when(k % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+        return (
+            c.select(raw.alias("raw_url"))
+            .select("raw_url", canonical_url(F.col("raw_url")).alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(
+                F.count("*").alias("n_pages"),
+                F.countDistinct("raw_url").alias("n_variants"),
+            )
+        )
+
+    # -- PII scan + redaction over documents with deterministically
+    # planted emails/phones/IPs (the corpus itself is clean word soup);
+    # redacted text value-checked via md5 -----------------------------------
+    def text_pii(spark, sf_dir):
+        from rlr_spark.functions.text import pii_counts, pii_redact
+
+        d = _t(spark, sf_dir, "documents")
+        did = F.col("doc_id")
+        planted = F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), did.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" call +1 555-123-4567 or ping 10.0.0."),
+                    (did % 250 + 1).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        p = pii_counts(planted)
+        return d.select(
+            "doc_id",
+            *[col.alias(name) for name, col in p.items()],
+            F.md5(pii_redact(planted)).alias("redacted_md5"),
+        )
+
     # -- review-packet JSON round-trip (S6): save -> load -> live cursor ->
     # save -> reload; the returned row is the reloaded packet state ----------
     def packet_roundtrip(spark, sf_dir):
@@ -772,6 +841,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "stream_neardup_replay": stream_neardup_replay,
         "emb_ann_ivf_trained": emb_ann_ivf_trained,
+        "dedup_clusters": dedup_clusters,
+        "url_dedup": url_dedup,
+        "text_pii": text_pii,
     }
 
 
@@ -826,6 +898,13 @@ def oracle_sql() -> dict[str, str]:
                          / len(list_distinct(list_concat(a.toks, b.toks)))::DOUBLE
                 END) >= 0.8
     """
+
+    from rlr_spark.functions.text import EMAIL_RE as _EMAIL_RE
+    from rlr_spark.functions.text import IPV4_RE as _IPV4_RE
+    from rlr_spark.functions.text import PHONE_RE as _PHONE_RE
+    from rlr_spark.functions.web import canonical_url_sql
+
+    _canon_url_sql = canonical_url_sql("raw_url")
 
     ngram = (
         "list_distinct(list_transform(range(1, greatest(length(lower({c}))-2, 0)+1), "
@@ -1303,6 +1382,61 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN top2 t2 USING (doc_id)
         """,
         "stream_neardup_replay": _BRUTE_JAC_SQL,
+        "dedup_clusters": f"""
+            -- transitive closure of the brute-force >=0.8 pair set as a
+            -- recursive CTE; cluster id = min doc_id, keep = canonical
+            WITH RECURSIVE p AS ({_BRUTE_JAC_SQL}),
+            e(src, dst) AS (
+              SELECT l_id, r_id FROM p
+              UNION ALL
+              SELECT r_id, l_id FROM p),
+            walk(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.node),
+            cl AS (SELECT node AS doc_id, min(comp) AS cluster_id
+                   FROM walk GROUP BY node)
+            SELECT doc_id, cluster_id, (doc_id = cluster_id) AS keep FROM cl
+        """,
+        "url_dedup": f"""
+            WITH raws AS (
+              SELECT (CASE WHEN c_custkey % 2 = 0 THEN 'HTTP://' ELSE 'http://' END)
+                  || (CASE WHEN c_custkey % 5 = 0 THEN 'WWW.' ELSE '' END)
+                  || 'shop-' || (c_custkey % 7)::VARCHAR || '.Example.COM'
+                  || (CASE WHEN c_custkey % 3 = 0 THEN ':80' ELSE '' END)
+                  || '/item/' || (c_custkey % 10)::VARCHAR
+                  || (CASE WHEN c_custkey % 4 = 0 THEN '/' ELSE '' END)
+                  || '?utm_source=mail&b=' || (c_custkey % 2)::VARCHAR || '&a=1'
+                  || (CASE WHEN c_custkey % 6 = 0 THEN '#frag' ELSE '' END) AS raw_url
+              FROM customer)
+            SELECT {_canon_url_sql} AS canonical_url,
+                   count(*)::BIGINT AS n_pages,
+                   count(DISTINCT raw_url)::BIGINT AS n_variants
+            FROM raws GROUP BY 1
+        """,
+        "text_pii": f"""
+            WITH t AS (
+              SELECT doc_id, text
+                  || (CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+                           ELSE '' END)
+                  || (CASE WHEN doc_id % 11 = 0
+                           THEN ' call +1 555-123-4567 or ping 10.0.0.' || (doc_id % 250 + 1)::VARCHAR
+                           ELSE '' END) AS pt
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(pt, '{_EMAIL_RE}'))::INTEGER AS n_emails,
+                   len(regexp_extract_all(pt, '{_PHONE_RE}'))::INTEGER AS n_phones,
+                   len(regexp_extract_all(pt, '{_IPV4_RE}'))::INTEGER AS n_ipv4,
+                   (len(regexp_extract_all(pt, '{_EMAIL_RE}'))
+                    + len(regexp_extract_all(pt, '{_PHONE_RE}'))
+                    + len(regexp_extract_all(pt, '{_IPV4_RE}'))) > 0 AS has_pii,
+                   md5(regexp_replace(regexp_replace(regexp_replace(pt,
+                       '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                       '{_PHONE_RE}', '[PHONE]', 'g'),
+                       '{_IPV4_RE}', '[IP]', 'g')) AS redacted_md5
+            FROM t
+        """,
         "emb_ann_ivf_trained": """
             -- one Lloyd round mirrored exactly: first-8 init, strict->
             -- argmax assignment (ties -> smallest cell), per-(cell,dim)

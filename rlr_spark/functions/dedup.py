@@ -85,6 +85,41 @@ def minhash_dup_pairs(
     return _verify_token_jaccard(pairs, df, id_col, text_col, jaccard_threshold)
 
 
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    **minhash_kwargs,
+) -> DataFrame:
+    """The full dedup DECISION: which docs to keep. MinHash near-dup
+    pairs -> connected components -> canonical (min-id) doc per
+    duplicate cluster. Returns (id, cluster_id, keep): ``keep`` is True
+    for exactly one doc per cluster (and for every singleton), so
+    ``df.join(out.where("keep"), id_col, "left_semi")`` is the
+    deduplicated corpus.
+
+    Transitive closure is the standard web-dedup semantic (A~B, B~C =>
+    one survivor among {A,B,C} even if A!~C). Scale: pair generation is
+    the bounded LSH path (never all-pairs); CC runs on the pair set,
+    which near-dup thresholds keep sparse relative to the corpus;
+    integral ids make the CC node dictionary free (the id is the node).
+    """
+    from rlr_spark.operators.cluster import cluster_pairs
+
+    pairs = minhash_dup_pairs(
+        df, id_col, text_col, jaccard_threshold=jaccard_threshold, **minhash_kwargs
+    ).select("l_id", "r_id")
+    assign = cluster_pairs(
+        pairs, df.select(id_col), id_col=id_col, entity_col="cluster_id"
+    )
+    return assign.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("entity_key")).alias("keep"),
+    )
+
+
 def _verify_token_jaccard(
     pairs: DataFrame,
     df: DataFrame,

@@ -125,6 +125,41 @@ def fingerprint(text: Column) -> Column:
     )
 
 
+# PII patterns: kept to syntax valid AND equivalent in both Java regex
+# (Spark) and RE2 (DuckDB oracle) — char classes, bounded repeats, no
+# lookarounds. Deliberately high-precision/simple; a production scrub
+# would layer more patterns, the plumbing is identical.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{1,2}[ -][0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-doc PII hit counts: emails, phone numbers, IPv4 addresses,
+    plus an aggregate ``has_pii`` flag. Pure regexp column ops."""
+    t = F.coalesce(text, F.lit(""))
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    n_ipv4 = F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+    return {
+        "n_emails": n_emails,
+        "n_phones": n_phones,
+        "n_ipv4": n_ipv4,
+        "has_pii": (n_emails + n_phones + n_ipv4) > 0,
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII span with a typed placeholder. Order matters
+    (emails first, so their dotted domains are gone before the IPv4
+    pass); replacement is global on both engines."""
+    t = F.coalesce(text, F.lit(""))
+    t = F.regexp_replace(t, EMAIL_RE, "[EMAIL]")
+    t = F.regexp_replace(t, PHONE_RE, "[PHONE]")
+    t = F.regexp_replace(t, IPV4_RE, "[IP]")
+    return t
+
+
 def repetition_stats(
     df,
     id_col: str = "doc_id",

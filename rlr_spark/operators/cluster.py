@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
@@ -231,17 +232,25 @@ def cluster_pairs(
     collision check; on collision (detected by one aggregation) we fall
     back to a sorted ``row_number`` dictionary, which costs one global
     sort but is exact.
+
+    Integral id columns skip the dictionary entirely: the id IS the
+    node (already 8 bytes, already distinct), so no hash, no
+    collision check, and zero extra jobs — the pipeline path (uid =
+    xxhash64(url), validated unique at the extract stage) lands here.
     """
     ids = all_ids.select(F.col(id_col).alias("_id")).distinct()
-    hashed = ids.select("_id", F.xxhash64("_id").alias("_nid"))
-    # ONE pass over the dictionary (count + countDistinct fuse into a
-    # single aggregation job) — at 10^12 ids a second full scan just to
-    # detect the ~never collision would double the dictionary cost
-    counts = hashed.agg(
-        F.count("*").alias("n"), F.countDistinct("_nid").alias("nh")
-    ).collect()[0]
-    if int(counts.nh) != int(counts.n):
-        hashed = _dense_ids(ids)
+    if isinstance(ids.schema["_id"].dataType, (T.LongType, T.IntegerType)):
+        hashed = ids.select("_id", F.col("_id").cast("long").alias("_nid"))
+    else:
+        hashed = ids.select("_id", F.xxhash64("_id").alias("_nid"))
+        # ONE pass over the dictionary (count + countDistinct fuse into
+        # a single aggregation job) — at 10^12 ids a second full scan
+        # just to detect the ~never collision would double the cost
+        counts = hashed.agg(
+            F.count("*").alias("n"), F.countDistinct("_nid").alias("nh")
+        ).collect()[0]
+        if int(counts.nh) != int(counts.n):
+            hashed = _dense_ids(ids)
 
     le = hashed.select(F.col("_id").alias("l_id"), F.col("_nid").alias("u"))
     re_ = hashed.select(F.col("_id").alias("r_id"), F.col("_nid").alias("v"))

@@ -173,3 +173,29 @@ def test_jaccard_prefix_join_exact_vs_bruteforce(spark, web_pages_small):
     }
     assert got == want
     assert len(want) > 30
+
+
+def test_neardup_clusters_transitive_keep(spark):
+    """A~B~C chain -> one cluster, min id kept; singleton keeps itself;
+    integral ids take the dictionary-free CC path."""
+    from rlr_spark.functions.dedup import neardup_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (10, base),
+            (11, base + " lambda"),          # ~ 10 (10/11)
+            (12, base + " lambda mu"),       # ~ 11 (11/12), ~10 only 10/12
+            (20, "totally different words here entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in neardup_clusters(docs, jaccard_threshold=0.85).collect()
+    }
+    assert out[10].cluster_id == out[11].cluster_id == out[12].cluster_id == 10
+    assert out[10].keep and not out[11].keep and not out[12].keep
+    assert out[20].cluster_id == 20 and out[20].keep
+    # the kept set IS a valid dedup: one survivor per cluster
+    assert sum(1 for r in out.values() if r.keep) == 2
