@@ -1,0 +1,108 @@
+"""Browser review UI: drive the HTTP server with real requests and
+assert labels/notes/cursor land exactly as through the CLI loop."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from rlr_spark.cli import CLReviewer
+from rlr_spark.datagen import VAR_SCHEMA_FIRM, generate_firm_fixtures
+from rlr_spark.sources.packet import ReviewPacket, ReviewSession
+from rlr_spark.webui import WebReviewer
+
+
+@pytest.fixture()
+def served(spark, tmp_path):
+    data_l, data_r, pairs = generate_firm_fixtures()
+    pairs = pairs.drop_duplicates().query("ein != 999").reset_index(drop=True)
+    l_path, r_path, p_path = (
+        str(tmp_path / "dataL.parquet"),
+        str(tmp_path / "dataR.parquet"),
+        str(tmp_path / "pairs.parquet"),
+    )
+    spark.createDataFrame(data_l).write.parquet(l_path)
+    spark.createDataFrame(data_r).write.parquet(r_path)
+    spark.createDataFrame(pairs).write.parquet(p_path)
+    packet = ReviewPacket(
+        file_L=l_path,
+        file_L_ids=["ein"],
+        file_R=r_path,
+        file_R_ids=["ui_num"],
+        file_comps=p_path,
+        var_group_schema=VAR_SCHEMA_FIRM,
+        label_choices=["Match", "Not a Match", "Maybe a Match"],
+    )
+    packet_path = str(tmp_path / "packet.json")
+    packet.save(packet_path)
+    session = ReviewSession(spark, packet)
+    reviewer = CLReviewer(
+        session,
+        comp_pairs_path=str(tmp_path / "reviewed.parquet"),
+        packet_path=packet_path,
+    )
+    server = WebReviewer(reviewer).make_server(port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, reviewer, packet_path, str(tmp_path)
+    server.shutdown()
+
+
+def _get(base: str) -> str:
+    with urllib.request.urlopen(base + "/") as resp:
+        return resp.read().decode("utf-8")
+
+
+def _post(base: str, **fields) -> str:
+    data = urllib.parse.urlencode(fields).encode()
+    req = urllib.request.Request(base + "/", data=data, method="POST")
+    with urllib.request.urlopen(req) as resp:  # follows the 303 back to GET
+        return resp.read().decode("utf-8")
+
+
+def test_page_renders_pair_and_groups(served):
+    base, reviewer, _, _ = served
+    page = _get(base)
+    assert f"Record Pair 1 / {reviewer.n}" in page
+    for g in reviewer.packet.var_group_schema:
+        assert g["name"] in page
+    # radio options: No Label + the three label choices
+    assert page.count('name="label"') == 4
+
+
+def test_label_note_nav_roundtrip(served, spark):
+    base, reviewer, packet_path, root = served
+    # label pair 1 as Match (radio value 1)
+    _post(base, label="1")
+    # move next, label pair 2 as Not a Match
+    _post(base, nav="next")
+    _post(base, label="2")
+    # goto pair 5, set a note
+    _post(base, goto="5")
+    page = _post(base, note="check the address")
+    assert "check the address" in page
+    assert f"Record Pair 5 / {reviewer.n}" in page
+
+    saved = spark.read.parquet(root + "/reviewed.parquet")
+    got = {
+        (r.ein, r.ui_num): (r.rlr_label, r.rlr_note, r.rlr_label_ind)
+        for r in saved.collect()
+    }
+    assert got[(100, 500)] == ("Match", "", 1)
+    assert got[(101, 501)] == ("Not a Match", "", 1)
+    assert got[(104, 504)] == ("", "check the address", 0)
+    # cursor persisted to the packet on every save
+    assert json.load(open(packet_path))["curr_comp_pair_index"] == 4
+
+
+def test_mismatch_highlighting_and_summary(served):
+    base, _, _, _ = served
+    page = _get(base)
+    # the fixture's first pair agrees on some groups and differs on others
+    assert 'class="match"' in page or 'class="mismatch"' in page
+    assert "summary" in page  # label summary block present
