@@ -733,15 +733,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    # -- PII scan + redaction over documents with deterministically
-    # planted emails/phones/IPs (the corpus itself is clean word soup);
-    # redacted text value-checked via md5 -----------------------------------
-    def text_pii(spark, sf_dir):
-        from rlr_spark.functions.text import pii_counts, pii_redact
-
-        d = _t(spark, sf_dir, "documents")
+    # deterministic PII planting shared by text_pii and corpus_filter
+    # (the corpus itself is clean word soup)
+    def _planted_pii_text() -> F.Column:
         did = F.col("doc_id")
-        planted = F.concat(
+        return F.concat(
             F.col("text"),
             F.when(
                 did % 7 == 0,
@@ -758,11 +754,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ),
             ).otherwise(F.lit("")),
         )
+
+    # -- PII scan + redaction over documents with deterministically
+    # planted emails/phones/IPs; redacted text value-checked via md5 --------
+    def text_pii(spark, sf_dir):
+        from rlr_spark.functions.text import pii_counts, pii_redact
+
+        d = _t(spark, sf_dir, "documents")
+        planted = _planted_pii_text()
         p = pii_counts(planted)
         return d.select(
             "doc_id",
             *[col.alias(name) for name, col in p.items()],
             F.md5(pii_redact(planted)).alias("redacted_md5"),
+        )
+
+    # -- the composed corpus filter — the decision a training-data
+    # pipeline actually ships: quality + repetition + language + PII
+    # signals conjoined into per-doc keep/drop with per-check flags ----------
+    def corpus_filter(spark, sf_dir):
+        from rlr_spark.functions.text import (
+            lang_id,
+            pii_counts,
+            quality_score,
+            repetition_stats,
+        )
+
+        d = _t(spark, sf_dir, "documents")
+        rep = repetition_stats(d, line_sep=r"\s+").select(
+            "doc_id", "dup_line_frac", "top2gram_mass"
+        )
+        base = d.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("_q"),
+            lang_id(F.col("text")).alias("_lg"),
+            pii_counts(_planted_pii_text())["has_pii"].alias("_pii"),
+        )
+        j = base.join(rep, "doc_id")
+        q_ok = F.col("_q") >= 0.45
+        rep_ok = (F.col("dup_line_frac") <= 0.6) & (F.col("top2gram_mass") <= 0.5)
+        lang_ok = F.col("_lg") == "en"
+        pii_ok = ~F.col("_pii")
+        return j.select(
+            "doc_id",
+            q_ok.alias("q_ok"),
+            rep_ok.alias("rep_ok"),
+            lang_ok.alias("lang_ok"),
+            pii_ok.alias("pii_ok"),
+            (q_ok & rep_ok & lang_ok & pii_ok).alias("keep"),
         )
 
     # -- review-packet JSON round-trip (S6): save -> load -> live cursor ->
@@ -844,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters,
         "url_dedup": url_dedup,
         "text_pii": text_pii,
+        "corpus_filter": corpus_filter,
     }
 
 
@@ -935,6 +975,35 @@ def oracle_sql() -> dict[str, str]:
         ELSE 'en'
       END
     """
+
+    # shared fragments: quality composite (mirrors text.quality_score),
+    # the deterministic PII planting, and the has-pii predicate over a
+    # planted-text column named pt
+    quality_expr = f"""round((
+        least((CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+                    ELSE len(string_split(trim(text), ' ')) END)::DOUBLE / 50.0, 1.0)
+        + (1.0 - least((CASE WHEN length(regexp_replace(coalesce(text,''), '\\s', '', 'g')) = 0
+                             THEN 0.0
+                             ELSE length(regexp_replace(coalesce(text,''), '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                                  / length(regexp_replace(coalesce(text,''), '\\s', '', 'g'))::DOUBLE
+                         END) * 5, 1.0))
+        + least((CASE WHEN trim(text) = '' OR text IS NULL THEN 0.0
+                      ELSE len(list_filter({toks}, t -> list_contains({sw}, t)))::DOUBLE
+                           / len({toks})::DOUBLE
+                  END) * 5, 1.0)
+      ) / 3, 6)"""
+    planted_sql = """text
+        || (CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1 555-123-4567 or ping 10.0.0.' || (doc_id % 250 + 1)::VARCHAR
+                 ELSE '' END)"""
+    has_pii_sql = (
+        f"(len(regexp_extract_all(pt, '{_EMAIL_RE}'))"
+        f" + len(regexp_extract_all(pt, '{_PHONE_RE}'))"
+        f" + len(regexp_extract_all(pt, '{_IPV4_RE}'))) > 0"
+    )
 
     return {
         "v1_key_uniqueness": """
@@ -1282,21 +1351,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fin
         """,
         "text_quality": f"""
-            SELECT doc_id,
-                   round((
-                     least((CASE WHEN trim(text) = '' OR text IS NULL THEN 0
-                                 ELSE len(string_split(trim(text), ' ')) END)::DOUBLE / 50.0, 1.0)
-                     + (1.0 - least((CASE WHEN length(regexp_replace(coalesce(text,''), '\\s', '', 'g')) = 0
-                                          THEN 0.0
-                                          ELSE length(regexp_replace(coalesce(text,''), '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
-                                               / length(regexp_replace(coalesce(text,''), '\\s', '', 'g'))::DOUBLE
-                                      END) * 5, 1.0))
-                     + least((CASE WHEN trim(text) = '' OR text IS NULL THEN 0.0
-                                   ELSE len(list_filter({toks}, t -> list_contains({sw}, t)))::DOUBLE
-                                        / len({toks})::DOUBLE
-                               END) * 5, 1.0)
-                   ) / 3, 6) AS quality
-            FROM documents
+            SELECT doc_id, {quality_expr} AS quality FROM documents
         """,
         "packet_roundtrip": """
             SELECT 'c_custkey' AS l_id_col, 's_suppkey' AS r_id_col,
@@ -1416,13 +1471,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_pii": f"""
             WITH t AS (
-              SELECT doc_id, text
-                  || (CASE WHEN doc_id % 7 = 0
-                           THEN ' contact user' || doc_id::VARCHAR || '@example.com now'
-                           ELSE '' END)
-                  || (CASE WHEN doc_id % 11 = 0
-                           THEN ' call +1 555-123-4567 or ping 10.0.0.' || (doc_id % 250 + 1)::VARCHAR
-                           ELSE '' END) AS pt
+              SELECT doc_id, {planted_sql} AS pt
               FROM documents)
             SELECT doc_id,
                    len(regexp_extract_all(pt, '{_EMAIL_RE}'))::INTEGER AS n_emails,
@@ -1483,6 +1532,50 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, cos_sim, rank::INTEGER AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "corpus_filter": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS t
+              FROM documents),
+            rep AS (
+              SELECT doc_id,
+                     round(CASE WHEN len(t) = 0 THEN 0.0
+                                ELSE coalesce(list_sum(list_transform(list_distinct(t),
+                                       d -> CASE WHEN len(list_filter(t, x -> x = d)) > 1
+                                                 THEN len(list_filter(t, x -> x = d))
+                                                 ELSE 0 END)), 0)::DOUBLE / len(t)::DOUBLE
+                            END, 6) AS dup_frac,
+                     len(t) AS n_tok
+              FROM tk),
+            g2 AS (
+              SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+                       THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                       ELSE []::VARCHAR[] END) AS g
+              FROM tk),
+            top2 AS (
+              SELECT doc_id, max(c) AS tc FROM (
+                SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g)
+              GROUP BY doc_id),
+            mass AS (
+              SELECT r.doc_id, r.dup_frac,
+                     round(CASE WHEN r.n_tok = 0 OR t2.tc IS NULL THEN 0.0
+                                ELSE 2.0 * t2.tc::DOUBLE / r.n_tok::DOUBLE END, 6) AS t2mass
+              FROM rep r LEFT JOIN top2 t2 USING (doc_id)),
+            base AS (
+              SELECT doc_id, {quality_expr} AS q, {lang_case} AS lg FROM documents),
+            pii AS (
+              SELECT doc_id, ({has_pii_sql}) AS hp
+              FROM (SELECT doc_id, {planted_sql} AS pt FROM documents))
+            SELECT b.doc_id,
+                   b.q >= 0.45 AS q_ok,
+                   (m.dup_frac <= 0.6 AND m.t2mass <= 0.5) AS rep_ok,
+                   b.lg = 'en' AS lang_ok,
+                   NOT p.hp AS pii_ok,
+                   (b.q >= 0.45 AND m.dup_frac <= 0.6 AND m.t2mass <= 0.5
+                    AND b.lg = 'en' AND NOT p.hp) AS keep
+            FROM base b JOIN mass m USING (doc_id) JOIN pii p USING (doc_id)
         """,
         "cc_clusters": f"""
             WITH RECURSIVE sc AS ({_FS_SQL}),
