@@ -51,3 +51,71 @@ def test_frame_sample_plan(spark):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     got = sorted((r.media_id, r.frame_ts_ms) for r in frames)
     assert got == [(3, 0), (3, 1000), (3, 2000), (3, 3000)]
+
+
+def test_ppm_roundtrip_and_resize():
+    import numpy as np
+
+    from rlr_spark.functions.multimodal import (
+        decode_image,
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    img = np.zeros((4, 6, 3), dtype=np.uint8)
+    img[:, :, 0] = 200  # red-dominant
+    img[0, 0] = (1, 2, 3)
+    payload = encode_ppm(img)
+    back = decode_ppm(payload)
+    assert back.shape == (4, 6, 3) and (back == img).all()
+    assert (decode_image(payload) == img).all()  # dispatch picks P6
+    small = resize_nearest(back, 3, 2)
+    assert small.shape == (2, 3, 3)
+    # comment + whitespace variants in the header parse too
+    wc = b"P6\n# a comment\n6 4\n255\n" + img.tobytes()
+    assert (decode_ppm(wc) == img).all()
+
+
+def test_wav_roundtrip():
+    import numpy as np
+
+    from rlr_spark.functions.multimodal import encode_wav_pcm16, parse_wav
+
+    t = np.arange(16_000)  # 1 s at 16 kHz
+    samples = (1000 * np.sin(2 * np.pi * 440 * t / 16_000)).astype(np.int16)
+    meta, back = parse_wav(encode_wav_pcm16(samples, 16_000, 1))
+    assert meta == {"sample_rate": 16_000, "channels": 1, "duration_ms": 1000}
+    assert (back == samples).all()
+
+
+def test_image_audio_stats_operators(spark):
+    import numpy as np
+
+    from rlr_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_stats,
+        encode_ppm,
+        encode_wav_pcm16,
+        image_stats,
+    )
+
+    img = np.full((2, 2, 3), (10, 20, 30), dtype=np.uint8)
+    wav = encode_wav_pcm16(np.full(8000, 100, dtype=np.int16), 8_000, 1)
+    rows = [
+        (1, "image", bytearray(encode_ppm(img)), (2, 2, None, "image/x-portable-pixmap")),
+        (2, "image", bytearray(b"\x89PNG compressed"), (0, 0, None, "image/png")),
+        (3, "audio", bytearray(wav), (None, None, 1000, "audio/wav")),
+        (4, "audio", bytearray(b"ID3 mp3 frame"), (None, None, 999, "audio/mpeg")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    istats = {r.media_id: r for r in image_stats(media).collect()}
+    assert istats[1].decoded and (istats[1].width, istats[1].height) == (2, 2)
+    assert (istats[1].mean_r, istats[1].mean_g, istats[1].mean_b) == (10.0, 20.0, 30.0)
+    assert not istats[2].decoded and istats[2].width is None
+
+    astats = {r.media_id: r for r in audio_stats(media).collect()}
+    assert astats[3].decoded and astats[3].sample_rate == 8_000
+    assert astats[3].duration_ms == 1000 and astats[3].rms == 100.0
+    assert not astats[4].decoded and astats[4].rms is None
