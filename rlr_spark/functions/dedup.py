@@ -302,12 +302,30 @@ def jaccard_prefix_join(
     # slightly LONGER prefix only adds candidates)
     plen = (n - F.ceil(F.lit(threshold) * n.cast("double") - F.lit(1e-9)) + 1).cast("int")
     keyed = (
-        ordered.select(F.col(id_col), F.slice(F.col("_sorted"), 1, plen).alias("_prefix"))
-        .select(F.col(id_col), F.explode("_prefix").alias("_p"))
-        .select(F.col(id_col), F.col("_p._h").alias("blk_key"))
+        ordered.select(
+            F.col(id_col),
+            F.slice(F.col("_sorted"), 1, plen).alias("_prefix"),
+            n.alias("_n"),
+        )
+        .select(F.col(id_col), F.explode("_prefix").alias("_p"), "_n")
+        .select(F.col(id_col), F.col("_p._h").alias("blk_key"), "_n")
+    )
+    # PPJoin LENGTH filter, applied inside the join: jaccard >= t forces
+    # |x∩y| >= t*|x∪y| >= t*max(|x|,|y|) and |x∩y| <= min(|x|,|y|), so
+    # any true pair has min >= t*max. Pruning the rest inside the join
+    # stage cuts the verify set without touching completeness.
+    length_ok = F.least(F.col("l__n"), F.col("r__n")).cast("double") >= (
+        F.lit(threshold) * F.greatest(F.col("l__n"), F.col("r__n")).cast("double")
+        - F.lit(1e-9)
     )
     pairs, _ = block_pairs(
-        keyed, id_col, salt_k=salt_k, max_block_size=max_block_size, pass_name="prefix"
+        keyed,
+        id_col,
+        salt_k=salt_k,
+        max_block_size=max_block_size,
+        pass_name="prefix",
+        carry_cols=("_n",),
+        pair_filter=length_ok,
     )
     return _verify_token_jaccard(pairs, df, id_col, text_col, threshold)
 

@@ -191,6 +191,8 @@ def block_pairs(
     max_block_size: int | None = 10_000,
     salt_threshold: int = 512,
     pass_name: str = "block",
+    carry_cols: tuple[str, ...] = (),
+    pair_filter: Column | None = None,
 ) -> tuple[DataFrame, BlockStats]:
     """Canonical candidate pairs (l_id < r_id) within each blocking key.
 
@@ -202,8 +204,17 @@ def block_pairs(
     the rest join on salt 0. The logical pair set is identical either
     way (invariance tested); only the hot keys pay for, and benefit
     from, the spread.
+
+    ``carry_cols`` travel with each side into the join (exposed as
+    ``l_<col>`` / ``r_<col>``) and ``pair_filter`` — a boolean Column
+    over those — prunes candidates INSIDE the join stage, before the
+    pair-dedup shuffle. This is how similarity joins apply their
+    length/positional filters (e.g. PPJoin's ``|x| >= t*|y|``) without
+    materializing the pruned pairs at all.
     """
-    keyed = keyed.select(id_col, key_col).where(F.col(key_col).isNotNull())
+    keyed = keyed.select(id_col, key_col, *carry_cols).where(
+        F.col(key_col).isNotNull()
+    )
     # the keyed relation is consumed by three jobs (sizes agg, stats
     # collect, pair join); localCheckpoint (lazy) materializes it once —
     # the stats collect below triggers it — so an expensive upstream
@@ -246,6 +257,7 @@ def block_pairs(
         F.col(key_col),
         F.col(id_col).alias("l_id"),
         F.pmod(F.xxhash64(F.col(id_col)), F.col("_k").cast("long")).alias("_salt"),
+        *[F.col(c).alias("l_" + c) for c in carry_cols],
     )
     right = keyed.select(
         F.col(key_col),
@@ -253,11 +265,15 @@ def block_pairs(
         F.explode(
             F.sequence(F.lit(0).cast("long"), (F.col("_k") - 1).cast("long"))
         ).alias("_salt"),
+        *[F.col(c).alias("r_" + c) for c in carry_cols],
     )
+    pairs = left.join(right, [key_col, "_salt"]).where(
+        F.col("l_id") < F.col("r_id")
+    )
+    if pair_filter is not None:
+        pairs = pairs.where(pair_filter)
     pairs = (
-        left.join(right, [key_col, "_salt"])
-        .where(F.col("l_id") < F.col("r_id"))
-        .select("l_id", "r_id")
+        pairs.select("l_id", "r_id")
         # a pair sharing several keys (e.g. colliding in many LSH bands)
         # would otherwise appear once per key — canonicalize here
         .dropDuplicates(["l_id", "r_id"])
