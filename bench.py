@@ -156,11 +156,12 @@ def main() -> None:
         query_secs[name] = round(best, 3)
     query_secs["pipeline_full"] = pipeline_best["wall_sec"]
 
-    # --- data-proportional corpus: fixed cost amortized, single trial ------
+    # --- data-proportional corpus: fixed cost amortized -------------------
+    # min-of-2 here too: single 300k shots swing +/-15% with host weather
     pipeline_big = None
     if BIG_PAGES:
         big = spark.read.parquet(_corpus(BIG_PAGES))
-        pipeline_big = _run_pipeline(spark, big, BIG_PAGES, 1)
+        pipeline_big = _run_pipeline(spark, big, BIG_PAGES, TRIALS)
         query_secs["pipeline_big"] = pipeline_big["wall_sec"]
 
     print(
