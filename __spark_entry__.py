@@ -804,6 +804,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (q_ok & rep_ok & lang_ok & pii_ok).alias("keep"),
         )
 
+    # -- corpus vocabulary stats: document frequency + IDF per token,
+    # top-50 by df — the tokenizer/vocab table a corpus pipeline keeps --
+    def vocab_stats(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        total = d.count()  # tiny driver-side scalar; the oracle recomputes it
+        raw = F.split(F.trim(F.lower(F.col("text"))), r"\s+")  # NOT distinct
+        tok = d.where(F.trim(F.col("text")) != "").select(
+            "doc_id", F.explode(raw).alias("tok")
+        )
+        stats = tok.groupBy("tok").agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        out = stats.select(
+            "tok",
+            "n_docs",
+            "n_occ",
+            F.round(
+                F.log(F.lit(float(total)) / F.col("n_docs").cast("double")), 6
+            ).alias("idf"),
+        )
+        return out.orderBy(F.desc("n_docs"), "tok").limit(50)
+
+    # -- deterministic stratified sampling: hash-gated keep per stratum
+    # (reproducible train/dev splits; md5-based so the oracle mirrors
+    # the gate bit-exactly — xxhash64 has no DuckDB counterpart) --------
+    def sample_stratified(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        gate = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 100
+        )
+        rate = F.when(F.col("lang") == "en", F.lit(25)).otherwise(F.lit(75))
+        return d.select("doc_id", "lang").where(gate < rate)
+
     # -- review-packet JSON round-trip (S6): save -> load -> live cursor ->
     # save -> reload; the returned row is the reloaded packet state ----------
     def packet_roundtrip(spark, sf_dir):
@@ -884,6 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": url_dedup,
         "text_pii": text_pii,
         "corpus_filter": corpus_filter,
+        "vocab_stats": vocab_stats,
+        "sample_stratified": sample_stratified,
     }
 
 
@@ -1576,6 +1614,26 @@ def oracle_sql() -> dict[str, str]:
                    (b.q >= 0.45 AND m.dup_frac <= 0.6 AND m.t2mass <= 0.5
                     AND b.lg = 'en' AND NOT p.hp) AS keep
             FROM base b JOIN mass m USING (doc_id) JOIN pii p USING (doc_id)
+        """,
+        "vocab_stats": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+              FROM documents WHERE trim(text) <> ''),
+            stats AS (
+              SELECT tok, count(DISTINCT doc_id)::BIGINT AS n_docs,
+                     count(*)::BIGINT AS n_occ
+              FROM tok GROUP BY tok),
+            total AS (SELECT count(*)::DOUBLE AS n FROM documents)
+            SELECT tok, n_docs, n_occ,
+                   round(ln(total.n / n_docs::DOUBLE), 6) AS idf
+            FROM stats, total
+            ORDER BY n_docs DESC, tok
+            LIMIT 50
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                  < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
         """,
         "cc_clusters": f"""
             WITH RECURSIVE sc AS ({_FS_SQL}),
