@@ -222,7 +222,9 @@ def image_stats(media: DataFrame) -> DataFrame:
                          round(float(m[0]), 6), round(float(m[1]), 6),
                          round(float(m[2]), 6), True)
                     )
-                except (NotImplementedError, ValueError, TypeError):
+                except Exception:  # noqa: BLE001 — contract: a malformed
+                    # payload yields decoded=false, NEVER a task failure
+                    # (struct.error, ZeroDivisionError, truncation...)
                     rows.append((mid, None, None, None, None, None, False))
             yield pd.DataFrame(
                 rows,
@@ -264,7 +266,9 @@ def audio_stats(media: DataFrame) -> DataFrame:
                         (mid, meta["sample_rate"], meta["channels"],
                          meta["duration_ms"], round(rms, 6), True)
                     )
-                except (NotImplementedError, ValueError, TypeError):
+                except Exception:  # noqa: BLE001 — same contract: a truncated
+                    # RIFF (struct.error) or zero-rate fmt (ZeroDivisionError)
+                    # must yield decoded=false, never kill the task
                     rows.append((mid, None, None, None, None, False))
             yield pd.DataFrame(
                 rows,

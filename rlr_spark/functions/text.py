@@ -203,19 +203,42 @@ def repetition_stats(
         )
         return F.filter(raw, lambda x: x != "")
 
-    def seg_stats(sep: str, prefix: str) -> list[Column]:
-        segs = segments(sep)
+    # STAGED projections (gotcha: Catalyst does no CSE across output
+    # columns, and CollapseProject keeps a lower alias materialized when
+    # the upper project references it more than once): stage 1 splits
+    # each separator ONCE; stage 2 runs the O(|distinct|*|segs|)
+    # occurrence scan ONCE per segment kind as (count, length) structs;
+    # stage 3's aggregates then fold over the materialized arrays.
+    stage1 = [F.col(id_col), segments(line_sep).alias("_segs_line"),
+              tokens(text).alias("_tk")]
+    if para_sep is not None:
+        stage1.append(segments(para_sep).alias("_segs_para"))
+    staged = df.select(*stage1)
+
+    def occ_counts(segs_name: str) -> Column:
+        segs = F.col(segs_name)
+        return F.transform(
+            F.array_distinct(segs),
+            lambda d: F.struct(
+                F.size(F.filter(segs, lambda s: s == d)).alias("c"),
+                F.length(d).alias("l"),
+            ),
+        )
+
+    stage2 = [F.col(id_col), F.col("_segs_line"), F.col("_tk"),
+              occ_counts("_segs_line").alias("_cnt_line")]
+    if para_sep is not None:
+        stage2 += [F.col("_segs_para"), occ_counts("_segs_para").alias("_cnt_para")]
+    staged = staged.select(*stage2)
+
+    def seg_stats(segs_name: str, cnt_name: str, prefix: str) -> list[Column]:
+        segs, cnt = F.col(segs_name), F.col(cnt_name)
         n = F.size(segs)
         # every occurrence of a segment appearing >1 times is a
         # duplicate (a,b,a -> 2 duplicate lines, not 1)
         n_dup = F.aggregate(
-            F.array_distinct(segs),
-            F.lit(0),
-            lambda acc, d: acc
-            + F.when(
-                F.size(F.filter(segs, lambda s: s == d)) > 1,
-                F.size(F.filter(segs, lambda s: s == d)),
-            ).otherwise(F.lit(0)),
+            cnt, F.lit(0),
+            lambda acc, e: acc + F.when(e["c"] > 1, e["c"]).otherwise(F.lit(0)),
         )
         frac = F.when(n == 0, F.lit(0.0)).otherwise(
             n_dup.cast("double") / n.cast("double")
@@ -223,15 +246,11 @@ def repetition_stats(
         total_chars = F.aggregate(
             segs, F.lit(0).cast("long"), lambda acc, s: acc + F.length(s)
         )
-        # chars inside segments occurring >1 times: O(|distinct|*|segs|)
-        # equality scans — segment counts are small even for huge docs
         dup_chars = F.aggregate(
-            F.array_distinct(segs),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc
+            cnt, F.lit(0).cast("long"),
+            lambda acc, e: acc
             + F.when(
-                F.size(F.filter(segs, lambda s: s == d)) > 1,
-                F.size(F.filter(segs, lambda s: s == d)).cast("long") * F.length(d),
+                e["c"] > 1, e["c"].cast("long") * e["l"].cast("long")
             ).otherwise(F.lit(0)),
         )
         char_frac = F.when(total_chars == 0, F.lit(0.0)).otherwise(
@@ -242,23 +261,27 @@ def repetition_stats(
             out.append(F.round(char_frac, 6).alias("dup_line_char_frac"))
         return out
 
-    toks = tokens(text)
-    n_tok = F.size(toks)
+    n_tok = F.size(F.col("_tk"))
     frac_alpha = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        F.size(F.filter(F.col("_tk"), lambda x: x.rlike("[A-Za-z]"))).cast("double")
         / n_tok.cast("double")
     )
     cols = [
         F.col(id_col),
-        F.size(segments(line_sep)).alias("n_lines"),
-        *seg_stats(line_sep, "dup_line"),
-        *(seg_stats(para_sep, "dup_para") if para_sep is not None else []),
+        F.size(F.col("_segs_line")).alias("n_lines"),
+        *seg_stats("_segs_line", "_cnt_line", "dup_line"),
+        *(
+            seg_stats("_segs_para", "_cnt_para", "dup_para")
+            if para_sep is not None
+            else []
+        ),
         n_tok.alias("_n_tok"),
         F.round(frac_alpha, 6).alias("frac_alpha_tokens"),
     ]
-    base = df.select(*cols)
+    base = staged.select(*cols)
 
     # F.sequence(1, 0) is a DESCENDING [1, 0], not empty — guard <2 tokens
+    toks = tokens(text)  # the explode branch runs over df, not staged
     g2_idx = F.when(
         F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
     ).otherwise(F.array().cast("array<int>"))

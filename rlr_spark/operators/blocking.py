@@ -94,6 +94,7 @@ def lsh_band_keys(
     shingle_k: int = 3,
     bands: int = 16,
     rows_per_band: int = 3,
+    rebalance_input: bool = True,
 ) -> DataFrame:
     """(id, blk_key) with blk_key = xxhash64(band_id, band row sigs) — LONG.
 
@@ -126,11 +127,14 @@ def lsh_band_keys(
     # minhash compute AND everything downstream of it — there is no
     # shuffle between here and the pair join anymore. The probe is
     # metadata-only for file scans / checkpointed inputs (every current
-    # caller); callers passing shuffle-lineage plans should rebalance
-    # themselves first, because .rdd on those finalizes AQE.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(par // 3, 4):
-        df = df.repartition(par)
+    # caller); pass ``rebalance_input=False`` from callers whose df has
+    # SHUFFLE lineage — on those plans `.rdd` finalizes AQE and runs
+    # the upstream map stages, whose work then re-executes on the real
+    # action (the pipeline pre-write probe bug, measured ~2x).
+    if rebalance_input:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < max(par // 3, 4):
+            df = df.repartition(par)
     shingled = df.select(
         F.col(id_col),
         hashed_shingle_col(F.col(text_col), shingle_k).alias("_sh"),

@@ -142,8 +142,13 @@ class ReviewSession:
             missing = [c for c in ids if c not in df.columns]
             if missing:
                 raise AssertionError(f"data{side} missing id columns {missing}")
+            # struct-wrap the key: bare countDistinct(*ids) SKIPS rows
+            # with a NULL in any id column (SQL distinct-agg semantics),
+            # which would reject tables the reference tool accepts; a
+            # struct with null fields is itself non-null and counts
             counts = df.agg(
-                F.count("*").alias("n"), F.countDistinct(*ids).alias("nd")
+                F.count("*").alias("n"),
+                F.countDistinct(F.struct(*ids)).alias("nd"),
             ).collect()[0]
             if int(counts.n) != int(counts.nd):
                 raise AssertionError(f"ids {ids} do not uniquely identify data{side}")

@@ -129,14 +129,24 @@ def incremental_neardup_stream(
 
     Delivery semantics: ``foreachBatch`` is AT-LEAST-ONCE on restart, so
     two guards make the state effectively idempotent: (a) a per-batch
-    marker file skips batch_ids whose appends all completed, and (b) new
-    urls are anti-joined against the accumulated docs table, so a
-    replayed batch whose docs append DID land (or a url recurring in a
-    later input file) never duplicates state or re-emits its pairs. The
-    one remaining window — a crash after the pairs append but before the
-    docs append — can duplicate rows in the pairs table only (state
-    stays consistent); consumers should ``dropDuplicates(l_id, r_id)``
-    on read, or the sinks should be an ACID table format in production.
+    marker file skips batch_ids whose appends all completed — markers
+    live INSIDE the checkpoint dir, so wiping/relocating the checkpoint
+    (which renumbers batch_ids from 0) can never match a stale marker
+    against brand-new data — and (b) new urls are anti-joined against
+    the accumulated docs table, so a replayed batch whose docs append
+    DID land (or a url recurring in a later input file) never
+    duplicates state or re-emits its pairs. The remaining window — a
+    crash INSIDE the append sequence (pairs -> keys -> docs) — can
+    leave duplicate rows in the pairs table, and in the keys table when
+    the crash lands between the keys and docs appends; candidate
+    generation dedups (l_id, r_id) so results stay correct, but
+    consumers should ``dropDuplicates`` on read, or the sinks should be
+    an ACID table format in production.
+
+    The accumulated keys table is tied to the banding scheme: a
+    ``_scheme`` marker in ``work_dir`` records (shingle_k, bands, rows,
+    key-derivation version) and a mismatch raises instead of silently
+    missing every cross-epoch pair.
 
     Returns the StreamingQuery; pairs land under ``work_dir + '/pairs'``.
     """
@@ -148,8 +158,26 @@ def incremental_neardup_stream(
     keys_dir = os.path.join(work_dir, "keys")
     docs_dir = os.path.join(work_dir, "docs")
     pairs_dir = os.path.join(work_dir, "pairs")
-    applied_dir = os.path.join(work_dir, "_applied")
+    ckpt_dir = os.path.join(work_dir, "_ckpt")
+    applied_dir = os.path.join(ckpt_dir, "_applied")
     os.makedirs(applied_dir, exist_ok=True)
+
+    scheme = f"minhash-k{shingle_k}-b{bands}-r{rows_per_band}-hashed-shingles-v2"
+    scheme_path = os.path.join(work_dir, "_scheme")
+    if os.path.exists(scheme_path):
+        with open(scheme_path) as f:
+            existing = f.read().strip()
+        if existing != scheme:
+            raise ValueError(
+                f"work_dir {work_dir} holds keys built with scheme "
+                f"'{existing}', incompatible with '{scheme}' — new docs "
+                "would never collide with accumulated keys (silent recall "
+                "loss). Rebuild the state or use a fresh work_dir."
+            )
+    else:
+        with open(scheme_path + ".tmp", "w") as f:
+            f.write(scheme)
+        os.replace(scheme_path + ".tmp", scheme_path)
 
     def _read_or_empty(path: str, schema: str) -> DataFrame:
         if os.path.isdir(path) and any(
@@ -193,6 +221,6 @@ def incremental_neardup_stream(
         .option("maxFilesPerTrigger", 1)
         .load(input_dir)
         .writeStream.foreachBatch(_process)
-        .option("checkpointLocation", os.path.join(work_dir, "_ckpt"))
+        .option("checkpointLocation", ckpt_dir)
         .start()
     )

@@ -124,10 +124,14 @@ class WebReviewer:
         if note:
             body.append(f'<p class="note">Note: {_esc(note)}</p>')
 
+        # goto is its OWN form: inside the nav form, pressing Enter in
+        # the text field would implicitly submit the form's FIRST button
+        # (prev) and navigate backward instead of jumping
         body.append(
-            '<form method="post" class="nav">'
+            '<form method="post" class="nav" style="display:inline">'
             '<button name="nav" value="prev">&laquo; Previous</button>'
-            '<button name="nav" value="next">Next &raquo;</button>'
+            '<button name="nav" value="next">Next &raquo;</button></form> '
+            '<form method="post" class="nav" style="display:inline">'
             f'<input name="goto" size="6" placeholder="1-{r.n}">'
             '<button type="submit">Go to</button></form>'
         )
@@ -163,7 +167,13 @@ class WebReviewer:
 
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
-                form = parse_qs(self.rfile.read(length).decode("utf-8"))
+                # keep_blank_values: an EMPTY note box must still arrive
+                # ('note': ['']) so clearing a note works — parse_qs
+                # silently drops blank values by default
+                form = parse_qs(
+                    self.rfile.read(length).decode("utf-8"),
+                    keep_blank_values=True,
+                )
                 web.apply(form)
                 # POST-redirect-GET so refresh never re-submits
                 self.send_response(303)

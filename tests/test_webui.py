@@ -106,3 +106,15 @@ def test_mismatch_highlighting_and_summary(served):
     # the fixture's first pair agrees on some groups and differs on others
     assert 'class="match"' in page or 'class="mismatch"' in page
     assert "summary" in page  # label summary block present
+
+
+def test_note_can_be_cleared_and_goto_is_own_form(served, spark):
+    base, reviewer, _, root = served
+    _post(base, note="temp note")
+    page = _get(base)
+    assert "temp note" in page
+    # empty note must CLEAR (parse_qs would drop blank values by default)
+    page = _post(base, note="")
+    assert "temp note" not in page
+    # the goto input lives in its own form: no nav field rides along
+    assert page.count("<form") >= 4
