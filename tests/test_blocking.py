@@ -188,3 +188,42 @@ def test_block_pairs_lr_caps_and_logs(spark):
     pairs, stats = block_pairs_lr(L, R, max_block_size=10)
     assert {(r.l_id, r.r_id) for r in pairs.collect()} == {("x", "y")}
     assert stats.n_dropped_blocks == 1
+
+
+def test_block_pairs_carry_cols_and_pair_filter(spark):
+    """carry_cols travel as l_<c>/r_<c> and pair_filter prunes inside
+    the join; invariant under salting configs."""
+    from pyspark.sql import functions as F
+
+    from rlr_spark.operators.blocking import block_pairs
+
+    rows = [(f"d{i}", "k", 10 + i) for i in range(6)]  # sizes 10..15
+    keyed = spark.createDataFrame(rows, "id string, blk_key string, _n int")
+    flt = F.least(F.col("l__n"), F.col("r__n")) * 10 >= F.greatest(
+        F.col("l__n"), F.col("r__n")
+    ) * 9  # keep pairs within 10% size of each other
+    want = {
+        (f"d{i}", f"d{j}")
+        for i in range(6)
+        for j in range(i + 1, 6)
+        if 10 * min(10 + i, 10 + j) >= 9 * max(10 + i, 10 + j)
+    }
+    assert 0 < len(want) < 15  # the filter actually prunes something
+    for k, thr in [(1, 1000), (4, 1)]:
+        pairs, _ = block_pairs(
+            keyed, "id", salt_k=k, salt_threshold=thr,
+            carry_cols=("_n",), pair_filter=flt,
+        )
+        got = {(r.l_id, r.r_id) for r in pairs.collect()}
+        assert got == want, (k, thr)
+
+
+def test_lsh_band_keys_rebalance_flag(spark):
+    """rebalance_input=False must not touch the input's partitioning."""
+    from rlr_spark.operators.blocking import lsh_band_keys
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)], "id long, text string"
+    ).coalesce(1)
+    keys = lsh_band_keys(df, "id", "text", rebalance_input=False)
+    assert keys.count() == 10 * 16  # one key per band per doc
