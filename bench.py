@@ -92,12 +92,20 @@ def _run_pipeline(spark, pages_df, n_pages: int, trials: int) -> dict:
         wall = time.time() - t0
         scored = pipe.read_manifest("score")["rows"]
         if best is None or wall < best["wall_sec"]:
+            # per-stage walls straight from the manifests the run just
+            # wrote: attributes headline moves to stages without a
+            # separate scaling-harness run
+            stage_secs = {
+                s: (pipe.read_manifest(s) or {}).get("duration_sec")
+                for s in ("extract", "pairs", "score", "cluster")
+            }
             best = {
                 "pages": n_pages,
                 "scored_pairs": scored,
                 "clusters": n_clusters,
                 "wall_sec": round(wall, 3),
                 "pairs_per_sec": round(scored / wall, 1) if wall > 0 else 0.0,
+                "stage_sec": stage_secs,
                 "cpus": CPUS,
                 "trials": trials,
             }

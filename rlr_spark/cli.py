@@ -61,6 +61,13 @@ class CLReviewer:
             is rewritten on every save and on exit.
         autosave: persist the pair table after each label/note
             (reference default, rlr.py:42).
+        max_pairs: refuse to open a pair table larger than this
+            (default 1,000,000). The cursor holds every key tuple on
+            the driver — review-sized by contract, like the reference's
+            in-memory comps file — so pointing the reviewer at a full
+            blocking output would OOM the driver. Filter first (e.g.
+            the uncertain band: ``pairs.where("rlr_label = ''")``) or
+            raise the limit explicitly.
     """
 
     def __init__(
@@ -72,6 +79,7 @@ class CLReviewer:
         width: int = 80,
         input_fn: Callable[[str], str] = input,
         print_fn: Callable[[str], None] = print,
+        max_pairs: int = 1_000_000,
     ) -> None:
         self.session = session
         self.packet = session.packet
@@ -92,6 +100,18 @@ class CLReviewer:
         # deterministic one. A packet saved by the reference therefore
         # resumes at the same ORDINAL position but possibly a different
         # pair; packets round-trip exactly within this tool.
+        #
+        # guard BEFORE collecting: count() is distributed and cheap,
+        # the key collect is driver-memory-bound
+        n_pairs = self.pairs.count()
+        if n_pairs > max_pairs:
+            raise ValueError(
+                f"pair table has {n_pairs:,} rows, above the review limit "
+                f"of {max_pairs:,}. The reviewer keeps every pair key on "
+                "the driver; filter the table first (e.g. the uncertain "
+                "band: pairs.where(\"rlr_label = ''\")) or pass a larger "
+                "max_pairs explicitly."
+            )
         self.keys = [
             tuple(r) for r in self.pairs.select(*self.key_cols).orderBy(*self.key_cols).collect()
         ]

@@ -57,6 +57,7 @@ def decontaminate(
     n: int = 13,
     threshold: float = 0.1,
     hash_grams: bool = True,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Per-training-doc benchmark overlap: (id, n_grams, n_overlap,
     contamination, is_contaminated).
@@ -71,6 +72,13 @@ def decontaminate(
     the at-scale representation. A cross-side collision inflating a
     doc's overlap needs two distinct grams with equal 64-bit hashes
     (~1e-9 even at billions of grams per side).
+
+    ``broadcast_benchmark`` (default) hints the distinct benchmark gram
+    set to every executor — right whenever it fits in memory (typical
+    eval suites are ≤ millions of grams = tens of MB hashed). Pass
+    ``False`` for a benchmark too large to broadcast: the join degrades
+    to a shuffled left join on the 8-byte gram key instead of OOMing
+    the executors.
     """
     gram = token_ngrams(F.col(text_col), n)
     key: Column = F.col("_gram")
@@ -87,9 +95,10 @@ def decontaminate(
         .distinct()
     )
 
-    flagged = train_grams.join(
-        F.broadcast(bench_grams).withColumn("_hit", F.lit(1)), "_g", "left"
-    )
+    bench_side = bench_grams.withColumn("_hit", F.lit(1))
+    if broadcast_benchmark:
+        bench_side = F.broadcast(bench_side)
+    flagged = train_grams.join(bench_side, "_g", "left")
     per_doc = flagged.groupBy(id_col).agg(
         F.count("_g").alias("n_grams"),
         F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_overlap"),

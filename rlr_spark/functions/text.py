@@ -130,7 +130,9 @@ def fingerprint(text: Column) -> Column:
 # lookarounds. Deliberately high-precision/simple; a production scrub
 # would layer more patterns, the plumbing is identical.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?[0-9]{1,2}[ -][0-9]{3}-[0-9]{3}-[0-9]{4}"
+# country code optional: bare NANP "555-123-4567" (the most common
+# written form) must count as a phone number too
+PHONE_RE = r"(\+?[0-9]{1,2}[ -])?[0-9]{3}-[0-9]{3}-[0-9]{4}"
 IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
 
 
@@ -170,7 +172,7 @@ def repetition_stats(
     """Gopher-style repetition filters, per document.
 
     Returns (id, n_lines, dup_line_frac, dup_line_char_frac,
-    [dup_para_frac,] top2gram_count, top2gram_mass, frac_alpha_tokens):
+    [dup_para_frac,] frac_alpha_tokens, top2gram_count, top2gram_mass):
 
     - ``dup_line_frac`` — fraction of ``line_sep``-separated segments
       that are exact duplicates of ANOTHER segment in the same doc

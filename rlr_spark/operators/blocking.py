@@ -94,7 +94,7 @@ def lsh_band_keys(
     shingle_k: int = 3,
     bands: int = 16,
     rows_per_band: int = 3,
-    rebalance_input: bool = True,
+    rebalance_input: bool | None = None,
 ) -> DataFrame:
     """(id, blk_key) with blk_key = xxhash64(band_id, band row sigs) — LONG.
 
@@ -126,11 +126,18 @@ def lsh_band_keys(
     # how many byte splits get planned) and would serialize the whole
     # minhash compute AND everything downstream of it — there is no
     # shuffle between here and the pair join anymore. The probe is
-    # metadata-only for file scans / checkpointed inputs (every current
-    # caller); pass ``rebalance_input=False`` from callers whose df has
-    # SHUFFLE lineage — on those plans `.rdd` finalizes AQE and runs
-    # the upstream map stages, whose work then re-executes on the real
-    # action (the pipeline pre-write probe bug, measured ~2x).
+    # metadata-only for file scans / checkpointed inputs, but on a plan
+    # with SHUFFLE lineage `.rdd` finalizes AQE and runs the upstream
+    # map stages, whose work then re-executes on the real action (the
+    # pipeline pre-write probe bug, measured ~2x). Default (None) is
+    # therefore AUTO: probe only plans without an Exchange node — a
+    # shuffle upstream already repartitioned the data, so the probe
+    # would be both costly and pointless there. The bool override
+    # remains for callers that know better.
+    if rebalance_input is None:
+        from rlr_spark.plans.inspect import has_shuffle_lineage
+
+        rebalance_input = not has_shuffle_lineage(df)
     if rebalance_input:
         par = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < max(par // 3, 4):

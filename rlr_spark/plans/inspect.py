@@ -31,6 +31,32 @@ def read_schemas(df: DataFrame) -> list[set[str]]:
     return out
 
 
+def has_shuffle_lineage(df: DataFrame) -> bool:
+    """True when the plan contains a shuffle (Exchange node).
+
+    On such plans ``df.rdd`` / ``.getNumPartitions()`` finalizes the AQE
+    plan and RUNS the upstream shuffle map stages, whose work then
+    re-executes on the real action (measured ~2x per-stage cost — the
+    pipeline pre-write probe bug). Probe partition counts only when this
+    returns False (scan-rooted or local plans, where ``.rdd`` is
+    metadata-only). Stringifying the plan itself never runs a job.
+    """
+    return "Exchange" in physical_plan(df)
+
+
+def count_jobs(sc, fn):
+    """Run ``fn()`` and return ``(jobs_triggered, result)``.
+
+    Counts Spark jobs submitted during the call via the status tracker —
+    the direct way to assert an API is lazy (zero pre-jobs) in tests.
+    """
+    tracker = sc.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    result = fn()
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    return len(after - before), result
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries of each scan (predicate-pushdown check)."""
     plan = physical_plan(df)

@@ -160,3 +160,15 @@ def test_composite_key_session(spark, tmp_path):
     assert len(labeled) == 1
     blob = "\n".join(printed)
     assert "Record Pair 1/" in blob
+
+
+def test_reviewer_refuses_oversized_pair_table(spark, packet_session):
+    """The cursor collects every pair key to the driver — review-sized by
+    contract. A table above max_pairs must be refused with a filtering
+    hint, not collected (driver-OOM guard at real blocking-output sizes)."""
+    session, packet_path, tmp = packet_session
+    with pytest.raises(ValueError, match="review limit"):
+        CLReviewer(session, packet_path=packet_path, max_pairs=2)
+    # explicit raise of the limit re-enables the same table
+    r = CLReviewer(session, packet_path=packet_path, max_pairs=1_000)
+    assert r.n > 2

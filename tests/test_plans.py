@@ -106,3 +106,36 @@ def test_whole_stage_codegen_covers_similarity(spark, staged):
     df.collect()
     plan = _plan(df)
     assert "isFinalPlan=true" in plan and "*(" in plan, plan
+
+
+def test_shuffle_lineage_detection(spark, staged):
+    from rlr_spark.plans import has_shuffle_lineage
+
+    scan = staged.read("extract")
+    assert not has_shuffle_lineage(scan)
+    shuffled = scan.groupBy("lang").count()
+    assert has_shuffle_lineage(shuffled)
+    repartitioned = scan.repartition(8)
+    assert has_shuffle_lineage(repartitioned)
+
+
+def test_lsh_band_keys_lazy_on_shuffled_input(spark, staged):
+    """Building band keys over a SHUFFLE-lineage input must trigger zero
+    jobs: the old partition-count probe finalized AQE and ran the
+    upstream map stages (~2x cost). The auto-detect skips the probe."""
+    from rlr_spark.operators.blocking import lsh_band_keys
+    from rlr_spark.plans import count_jobs, has_shuffle_lineage
+
+    shuffled = (
+        staged.read("extract")
+        .repartition(4, "url")
+        .select("url", "text")
+    )
+    assert has_shuffle_lineage(shuffled)
+    jobs, keys = count_jobs(
+        spark.sparkContext,
+        lambda: lsh_band_keys(shuffled, "url", "text", bands=2, rows_per_band=2),
+    )
+    assert jobs == 0, f"lsh_band_keys ran {jobs} pre-jobs on a shuffled input"
+    # and the result is still correct when executed
+    assert keys.count() > 0

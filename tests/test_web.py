@@ -62,6 +62,7 @@ def test_pii_counts_and_redact(spark):
             (1, "mail a.b-c%x@foo-bar.co.uk or x@y.io, call +1 555-123-4567"),
             (2, "server at 192.168.0.1 and 10.0.0.255"),
             (3, "clean text only"),
+            (4, "bare form 555-123-4567 works too"),
         ],
         "id long, text string",
     )
@@ -78,3 +79,5 @@ def test_pii_counts_and_redact(spark):
     assert rows[1].red == "mail [EMAIL] or [EMAIL], call [PHONE]"
     assert rows[2].n_ipv4 == 2 and rows[2].red == "server at [IP] and [IP]"
     assert rows[3].has_pii is False and rows[3].red == "clean text only"
+    # country code optional: the bare NANP form counts and redacts
+    assert rows[4].n_phones == 1 and rows[4].red == "bare form [PHONE] works too"
