@@ -302,14 +302,19 @@ def block_pairs_lr(
     max_block_size: int | None = None,
     salt_threshold: int = 512,
     pass_name: str = "block_lr",
+    canonicalize: bool = False,
 ) -> tuple[DataFrame, BlockStats]:
     """TWO-DATASET candidate pairs within blocking keys: L x R per key.
 
     The linkage (not dedup) form of :func:`block_pairs` — the
     reference's primary workload is matching two different datasets
-    (rlr.py loads dataL and dataR; RLR_Home.py:96-119). No ``l < r``
-    canonicalization (the id spaces are disjoint); a pair appears once
-    per distinct (l_id, r_id) regardless of how many keys it shares.
+    (rlr.py loads dataL and dataR; RLR_Home.py:96-119). By default no
+    ``l < r`` canonicalization (the id spaces are disjoint); a pair
+    appears once per distinct (l_id, r_id) regardless of how many keys
+    it shares. ``canonicalize=True`` is for OVERLAPPING id spaces
+    (e.g. the streaming new-vs-accumulated probe, where the right side
+    contains the left): self-pairs are dropped and each unordered pair
+    is emitted once as (min, max), still in a single dedup shuffle.
 
     Skew handling mirrors the self-join, but is TWO-SIDED: a block is
     salted when EITHER side exceeds ``salt_threshold`` (linkage blocks
@@ -387,11 +392,15 @@ def block_pairs_lr(
             F.when(F.col("_salt_l"), _grid).otherwise(F.array(_hashed(id_col_r)))
         ).alias("_salt"),
     )
-    pairs = (
-        l_salted.join(r_salted, [key_col, "_salt"])
-        .select(id_col_l, id_col_r)
-        .dropDuplicates([id_col_l, id_col_r])
-    )
+    pairs = l_salted.join(r_salted, [key_col, "_salt"])
+    if canonicalize:
+        pairs = pairs.where(F.col(id_col_l) != F.col(id_col_r)).select(
+            F.least(id_col_l, id_col_r).alias(id_col_l),
+            F.greatest(id_col_l, id_col_r).alias(id_col_r),
+        )
+    else:
+        pairs = pairs.select(id_col_l, id_col_r)
+    pairs = pairs.dropDuplicates([id_col_l, id_col_r])
     return pairs, stats
 
 

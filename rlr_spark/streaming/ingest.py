@@ -20,7 +20,9 @@ events table, demonstrating late-data handling for monitoring streams.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import sys
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -59,25 +61,45 @@ def extract_and_key(pages: DataFrame) -> DataFrame:
 
 
 def incremental_pairs_batch(
-    new_keys: DataFrame, accumulated_keys: DataFrame
-) -> DataFrame:
+    new_keys: DataFrame,
+    accumulated_keys: DataFrame,
+    salt_k: int = 8,
+    max_block_size: int | None = 10_000,
+    salt_threshold: int = 512,
+):
     """One micro-batch of incremental candidate pairs: new rows vs
     (accumulated ∪ new), canonicalized. Used inside foreachBatch, where
-    ``accumulated_keys`` is the keyed table as of the previous batch."""
+    ``accumulated_keys`` is the keyed table as of the previous batch.
+
+    Returns ``(pairs, BlockStats)``. The join runs through the same
+    adaptive-salting machinery as the batch path
+    (:func:`~rlr_spark.operators.blocking.block_pairs_lr`): a hot bucket
+    — a mega-domain key, or a degenerate LSH band shared by boilerplate
+    pages — would otherwise land its entire join on ONE reducer *every
+    micro-batch*, and its candidate count is quadratic in the
+    accumulated bucket size. Blocks whose either side exceeds
+    ``max_block_size`` are dropped and counted in the returned stats
+    (same recall caveat the batch path documents); the probe is
+    two-sided-salted above ``salt_threshold``.
+    """
+    from rlr_spark.operators.blocking import block_pairs_lr
+
     left = new_keys.select(F.col("url").alias("l_id"), "blk_key")
     right = (
         accumulated_keys.select("url", "blk_key")
         .unionByName(new_keys.select("url", "blk_key"))
         .select(F.col("url").alias("r_id"), "blk_key")
     )
-    return (
-        left.join(right, "blk_key")
-        .where(F.col("l_id") != F.col("r_id"))
-        .select(
-            F.least("l_id", "r_id").alias("l_id"),
-            F.greatest("l_id", "r_id").alias("r_id"),
-        )
-        .dropDuplicates(["l_id", "r_id"])
+    return block_pairs_lr(
+        left,
+        right,
+        "l_id",
+        "r_id",
+        salt_k=salt_k,
+        max_block_size=max_block_size,
+        salt_threshold=salt_threshold,
+        pass_name="stream_incr",
+        canonicalize=True,
     )
 
 
@@ -113,40 +135,61 @@ def incremental_neardup_stream(
     shingle_k: int = 1,
     bands: int = 32,
     rows_per_band: int = 2,
+    salt_k: int = 8,
+    max_block_size: int | None = 10_000,
+    state_buckets: int = 64,
 ):
     """Streaming near-dup detection: readStream -> foreachBatch
-    incremental MinHash-LSH -> verified pairs, append-only state.
+    incremental MinHash-LSH -> verified pairs, bucketed parquet state.
 
     Per micro-batch: band-key the NEW docs, join them against the
     accumulated key table (plus themselves), verify candidates by exact
-    token jaccard, append verified pairs, then append the new keys/docs
-    to the accumulated tables. The probe side is only the new rows, so
-    a pair is computed in the batch where its second member arrives;
-    state is two append-only parquet tables — the batch analogue of the
-    bounded-state rule, and the standard incremental-ER shape (joining a
-    stream against itself inside LSH buckets would need full-state
-    symmetric stream-stream joins).
+    token jaccard, then land pairs/keys/docs for the batch. The probe
+    side is only the new rows, so a pair is computed in the batch where
+    its second member arrives; state is two grow-only parquet tables —
+    the batch analogue of the bounded-state rule, and the standard
+    incremental-ER shape (joining a stream against itself inside LSH
+    buckets would need full-state symmetric stream-stream joins).
 
-    Delivery semantics: ``foreachBatch`` is AT-LEAST-ONCE on restart, so
-    two guards make the state effectively idempotent: (a) a per-batch
-    marker file skips batch_ids whose appends all completed — markers
-    live INSIDE the checkpoint dir, so wiping/relocating the checkpoint
-    (which renumbers batch_ids from 0) can never match a stale marker
-    against brand-new data — and (b) new urls are anti-joined against
-    the accumulated docs table, so a replayed batch whose docs append
-    DID land (or a url recurring in a later input file) never
-    duplicates state or re-emits its pairs. The remaining window — a
-    crash INSIDE the append sequence (pairs -> keys -> docs) — can
-    leave duplicate rows in the pairs table, and in the keys table when
-    the crash lands between the keys and docs appends; candidate
-    generation dedups (l_id, r_id) so results stay correct, but
-    consumers should ``dropDuplicates`` on read, or the sinks should be
-    an ACID table format in production.
+    Skew: the per-batch key join runs through the same adaptive-salting
+    machinery as the batch path (``salt_k``/``max_block_size`` as in
+    :func:`~rlr_spark.operators.blocking.block_pairs_lr`) — a hot LSH
+    bucket would otherwise pin one reducer every micro-batch with an
+    unbounded candidate count. Dropped oversized blocks are logged to
+    the query's stderr with their row counts, never silent.
 
-    The accumulated keys table is tied to the banding scheme: a
-    ``_scheme`` marker in ``work_dir`` records (shingle_k, bands, rows,
-    key-derivation version) and a mismatch raises instead of silently
-    missing every cross-epoch pair.
+    State bucketing: the keys table is hive-partitioned by
+    ``_kb = pmod(blk_key, state_buckets)`` and the docs table by
+    ``_ub = pmod(xxhash64(url), state_buckets)``. Each batch first
+    collects the (few) buckets its own keys/urls/candidates touch and
+    probes the state with an ``IN`` partition filter, so the scan
+    prunes to matching buckets instead of rescanning all accumulated
+    state — per-batch IO is proportional to the buckets the batch
+    touches, not to total state size. (The parquet directory listing
+    itself still grows with batch count; a production deployment backs
+    these tables with Iceberg, where the same partition spec makes the
+    listing metadata-cheap and compaction folds per-batch files.)
+
+    Delivery semantics: ``foreachBatch`` is AT-LEAST-ONCE on restart;
+    three guards make the state EFFECTIVELY EXACTLY-ONCE: (a) every
+    write is a per-batch *dynamic partition overwrite* (all three
+    tables carry a ``_batch_id`` partition column), so a replayed batch
+    rewrites its own partitions instead of appending duplicates — a
+    crash anywhere inside the write sequence leaves partitions the
+    replay simply overwrites; (b) a per-batch marker file skips
+    batch_ids whose writes all completed — markers live INSIDE the
+    checkpoint dir, so wiping/relocating the checkpoint (which
+    renumbers batch_ids from 0) can never match a stale marker against
+    brand-new data; (c) new urls are anti-joined against the
+    accumulated docs table, so a url recurring in a later input file
+    (or a replay against a wiped checkpoint) never duplicates state or
+    re-emits its pairs.
+
+    The accumulated keys table is tied to the banding scheme AND the
+    bucket count: a ``_scheme`` marker in ``work_dir`` records
+    (shingle_k, bands, rows, key-derivation version, state_buckets) and
+    a mismatch raises instead of silently missing every cross-epoch
+    pair (a bucket-count change would misroute every probe).
 
     Returns the StreamingQuery; pairs land under ``work_dir + '/pairs'``.
     """
@@ -162,7 +205,10 @@ def incremental_neardup_stream(
     applied_dir = os.path.join(ckpt_dir, "_applied")
     os.makedirs(applied_dir, exist_ok=True)
 
-    scheme = f"minhash-k{shingle_k}-b{bands}-r{rows_per_band}-hashed-shingles-v2"
+    scheme = (
+        f"minhash-k{shingle_k}-b{bands}-r{rows_per_band}"
+        f"-hashed-shingles-v3-B{state_buckets}"
+    )
     scheme_path = os.path.join(work_dir, "_scheme")
     if os.path.exists(scheme_path):
         with open(scheme_path) as f:
@@ -179,38 +225,120 @@ def incremental_neardup_stream(
             f.write(scheme)
         os.replace(scheme_path + ".tmp", scheme_path)
 
-    def _read_or_empty(path: str, schema: str) -> DataFrame:
-        if os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ):
+    B = state_buckets
+
+    def _url_bucket(c) -> Column:
+        return F.pmod(F.xxhash64(c), F.lit(B)).cast("int")
+
+    def _key_bucket(c) -> Column:
+        return F.pmod(c, F.lit(B)).cast("int")
+
+    def _read_or_empty(path: str, schema: str, part_cols: str) -> DataFrame:
+        has_parquet = False
+        if os.path.isdir(path):
+            for _root, _dirs, files in os.walk(path):
+                if any(f.endswith(".parquet") for f in files):
+                    has_parquet = True
+                    break
+        if has_parquet:
             return spark.read.parquet(path)
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], schema + ", " + part_cols)
+
+    def _overwrite_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+        # dynamic partition overwrite: only the partitions PRESENT in
+        # this dataframe are replaced — a replayed batch rewrites its own
+        # (_*, _batch_id) leaves, other batches' partitions are untouched
+        part_cols = [c for c in ("_kb", "_ub") if c in df.columns] + ["_batch_id"]
+        (
+            df.withColumn("_batch_id", F.lit(int(batch_id)).cast("int"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+
+    def _buckets_of(df: DataFrame, col) -> list[int]:
+        """The distinct state buckets a (tiny, checkpointed) per-batch
+        relation touches — drives the probe's partition filter."""
+        return [r.b for r in df.select(col.alias("b")).distinct().collect()]
+
+    def _pruned(state: DataFrame, bucket_col: str, buckets: list[int]) -> DataFrame:
+        if len(buckets) >= B:
+            return state  # batch touches every bucket: no filter to push
+        return state.where(F.col(bucket_col).isin(buckets))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(applied_dir, f"batch_{batch_id}")
         if os.path.exists(marker):  # fully-applied batch replayed: skip
             return
-        acc_docs = _read_or_empty(docs_dir, "url string, text string")
-        batch = (
+        raw = (
             batch_df.select("url", F.col(text_col).alias("text"))
             .dropDuplicates(["url"])
-            # recurring or partially-replayed urls are already state
-            .join(acc_docs.select("url"), "url", "left_anti")
             .localCheckpoint(eager=True)
+        )
+        acc_docs = _read_or_empty(
+            docs_dir, "url string, text string", "_ub int, _batch_id int"
+        )
+        # a url's docs row always lives in its own _ub bucket, so the
+        # anti-join only needs the buckets this batch's urls hash to
+        batch_ubs = _buckets_of(raw, _url_bucket(F.col("url")))
+        batch = (
+            # recurring or partially-replayed urls are already state
+            raw.join(
+                _pruned(acc_docs, "_ub", batch_ubs).select("url"), "url", "left_anti"
+            ).localCheckpoint(eager=True)
         )
         new_keys = lsh_band_keys(
             batch, "url", "text", shingle_k=shingle_k, bands=bands,
             rows_per_band=rows_per_band,
         ).localCheckpoint(eager=True)
-        acc_keys = _read_or_empty(keys_dir, "url string, blk_key long")
-        cand = incremental_pairs_batch(new_keys, acc_keys)
-        all_docs = acc_docs.unionByName(batch.select("url", "text"))
+        acc_keys = _read_or_empty(
+            keys_dir, "url string, blk_key long", "_kb int, _batch_id int"
+        )
+        batch_kbs = _buckets_of(new_keys, _key_bucket(F.col("blk_key")))
+        cand, stats = incremental_pairs_batch(
+            new_keys,
+            _pruned(acc_keys, "_kb", batch_kbs).select("url", "blk_key"),
+            salt_k=salt_k,
+            max_block_size=max_block_size,
+        )
+        if stats.n_dropped_blocks:
+            print(
+                f"[incremental_neardup_stream] batch {batch_id}: dropped "
+                f"{stats.n_dropped_blocks} over-cap blocks "
+                f"({stats.n_dropped_rows} rows, cap {max_block_size})",
+                file=sys.stderr,
+            )
+        cand = cand.localCheckpoint(eager=True)
+        # the verify join needs the text of every candidate endpoint —
+        # prune the docs scan to the buckets those urls hash to
+        cand_ubs = _buckets_of(
+            cand.select(
+                F.explode(
+                    F.array(_url_bucket(F.col("l_id")), _url_bucket(F.col("r_id")))
+                ).alias("u")
+            ),
+            F.col("u"),
+        )
+        all_docs = (
+            _pruned(acc_docs, "_ub", cand_ubs)
+            .select("url", "text")
+            .unionByName(batch.select("url", "text"))
+        )
         verified = _verify_token_jaccard(
             cand, all_docs, "url", "text", jaccard_threshold
         )
-        verified.write.mode("append").parquet(pairs_dir)
-        new_keys.write.mode("append").parquet(keys_dir)
-        batch.select("url", "text").write.mode("append").parquet(docs_dir)
+        _overwrite_batch_partition(verified, pairs_dir, batch_id)
+        _overwrite_batch_partition(
+            new_keys.withColumn("_kb", _key_bucket(F.col("blk_key"))),
+            keys_dir,
+            batch_id,
+        )
+        _overwrite_batch_partition(
+            batch.select("url", "text").withColumn("_ub", _url_bucket(F.col("url"))),
+            docs_dir,
+            batch_id,
+        )
         with open(marker + ".tmp", "w") as f:
             f.write("applied")
         os.replace(marker + ".tmp", marker)  # atomic: kill-safe

@@ -44,9 +44,50 @@ def test_incremental_pairs_batch(spark):
         [("a", "k1"), ("b", "k1"), ("c", "k2")], "url string, blk_key string"
     )
     new = spark.createDataFrame([("d", "k1"), ("e", "k9")], "url string, blk_key string")
-    got = {(r.l_id, r.r_id) for r in incremental_pairs_batch(new, acc).collect()}
+    pairs, _stats = incremental_pairs_batch(new, acc)
+    got = {(r.l_id, r.r_id) for r in pairs.collect()}
     # new node d pairs with existing k1 members only; e has no partner
     assert got == {("a", "d"), ("b", "d")}
+
+
+def test_incremental_pairs_batch_salted_and_capped(spark):
+    """The per-batch probe join must run through the batch path's
+    adaptive salting: a hot bucket (one key holding most of the
+    accumulated state) is salted across reducers instead of pinning
+    one, and blocks above max_block_size are dropped AND counted."""
+    import re
+
+    from rlr_spark.plans import physical_plan
+
+    # planted mega-bucket: 600 accumulated rows on one key (~the
+    # "one domain = 50% of rows" scenario), 4 rows on a healthy key
+    hot = [(f"h{i}", "khot") for i in range(600)]
+    cold = [(f"c{i}", "kcold") for i in range(4)]
+    acc = spark.createDataFrame(hot + cold, "url string, blk_key string")
+    new = spark.createDataFrame(
+        [("n1", "khot"), ("n2", "kcold")], "url string, blk_key string"
+    )
+
+    # uncapped: the hot key must be SALTED — the join keys include _salt
+    pairs, stats = incremental_pairs_batch(
+        new, acc, salt_k=4, max_block_size=None, salt_threshold=100
+    )
+    assert re.search(r"Join \[blk_key#\d+, _salt", physical_plan(pairs)), (
+        "hot-bucket join is not salted"
+    )
+    got = {(r.l_id, r.r_id) for r in pairs.collect()}
+    assert ("c0", "n2") in got and ("h0", "n1") in got
+    # n1 pairs with 600 hot rows; n2 with 4 cold rows; n1-n2 share no key
+    assert len(got) == 604
+
+    # capped: the mega-bucket is dropped and LOGGED via stats, the
+    # healthy key still pairs
+    capped, stats = incremental_pairs_batch(
+        new, acc, salt_k=4, max_block_size=100, salt_threshold=100
+    )
+    got_capped = {(r.l_id, r.r_id) for r in capped.collect()}
+    assert got_capped == {("c0", "n2"), ("c1", "n2"), ("c2", "n2"), ("c3", "n2")}
+    assert stats.n_dropped_blocks == 1 and stats.n_dropped_rows >= 600
 
 
 def test_windowed_event_counts(spark, tmp_path):
@@ -196,3 +237,115 @@ def test_incremental_neardup_stream(spark, tmp_path):
     # recurring u1 was anti-joined away: state holds one row per url
     docs = spark.read.parquet(work + "/docs")
     assert docs.count() == docs.select("url").distinct().count() == 5
+
+
+def test_streaming_torn_write_replays_exactly_once(spark, tmp_path):
+    """Crash INSIDE a batch's write sequence (pairs+keys landed, docs and
+    the marker did not): the replayed batch must OVERWRITE its own
+    _batch_id partitions, leaving zero duplicate pair/key/doc rows —
+    the dynamic-partition-overwrite exactly-once guarantee."""
+    import glob
+    import shutil
+
+    from rlr_spark.streaming.ingest import incremental_neardup_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")  # token-jaccard ≈ 0.818
+
+    src = str(tmp_path / "torn_src")
+    batches = [
+        [("u1", base), ("u2", "one two three four five six")],
+        [("u3", near)],
+        [("u4", base)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "url string, text string").selectExpr(
+            "url", "cast(null as timestamp) warc_ts", "cast(null as binary) html",
+            "text", "cast(null as string) lang",
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    work = str(tmp_path / "torn_work")
+    q = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        # the restart below reuses the SAME checkpoint dir: wait for the
+        # first query to fully deregister it
+        q.awaitTermination(30)
+    expected = {("u1", "u3"), ("u1", "u4"), ("u3", "u4")}
+    assert {
+        (r.l_id, r.r_id) for r in spark.read.parquet(work + "/pairs").collect()
+    } == expected
+
+    # --- simulate the torn batch 2: its commit + marker + docs write are
+    # lost, its pairs/keys partitions DID land (the worst-case window)
+    import os
+
+    os.remove(os.path.join(work, "_ckpt", "commits", "2"))
+    # the local ChecksumFs keeps a CRC sidecar; a real crash loses both
+    crc = os.path.join(work, "_ckpt", "commits", ".2.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    os.remove(os.path.join(work, "_ckpt", "_applied", "batch_2"))
+    for d in glob.glob(os.path.join(work, "docs", "_ub=*", "_batch_id=2")):
+        shutil.rmtree(d)
+
+    q2 = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    pairs = spark.read.parquet(work + "/pairs")
+    assert {(r.l_id, r.r_id) for r in pairs.collect()} == expected
+    assert pairs.count() == 3  # overwritten in place, never appended twice
+    keys = spark.read.parquet(work + "/keys")
+    assert keys.count() == keys.select("url", "blk_key").distinct().count()
+    docs = spark.read.parquet(work + "/docs")
+    assert sorted(r.url for r in docs.select("url").collect()) == [
+        "u1", "u2", "u3", "u4",
+    ]
+
+
+def test_streaming_state_bucket_pruning(spark, tmp_path):
+    """The accumulated keys/docs tables are hive-partitioned by state
+    bucket; a probe restricted to a bucket subset must PRUNE the scan to
+    those buckets' files instead of rescanning all state."""
+    from pyspark.sql import functions as F
+
+    from rlr_spark.plans import physical_plan
+    from rlr_spark.streaming.ingest import incremental_neardup_stream
+
+    src = str(tmp_path / "bkt_src")
+    for i in range(3):  # 3 epochs of unrelated docs -> state grows
+        spark.createDataFrame(
+            [(f"e{i}d{j}", f"epoch{i} doc{j} " + " ".join(
+                f"w{i}_{j}_{k}" for k in range(8))) for j in range(4)],
+            "url string, text string",
+        ).selectExpr(
+            "url", "cast(null as timestamp) warc_ts", "cast(null as binary) html",
+            "text", "cast(null as string) lang",
+        ).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    work = str(tmp_path / "bkt_work")
+    q = incremental_neardup_stream(
+        spark, src + "/*", work, jaccard_threshold=0.8, state_buckets=64
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    keys = spark.read.parquet(work + "/keys")
+    total_files = len(keys.inputFiles())
+    kbs = sorted(r._kb for r in keys.select("_kb").distinct().collect())
+    assert len(kbs) > 1, "need multiple buckets to demonstrate pruning"
+    probe_kbs = kbs[: max(1, len(kbs) // 4)]
+    pruned = keys.where(F.col("_kb").isin(probe_kbs))
+    # the filter must reach the scan as a PARTITION filter...
+    plan = physical_plan(pruned)
+    assert "PartitionFilters" in plan and "_kb" in plan.split("PartitionFilters")[1][:200]
+    # ...and the executed scan must read strictly fewer files than the
+    # full state (constant in the untouched buckets as state grows)
+    scanned = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < scanned < total_files, (scanned, total_files)
