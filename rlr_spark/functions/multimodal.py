@@ -4,14 +4,17 @@ Image/audio/video payloads are carried as ``binary`` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` operators.
 
-Decode is REAL for the uncompressed container formats that need no
-codec library — binary P6 PPM images and RIFF/PCM WAV audio are parsed
-with pure Python + numpy (header structs + ``np.frombuffer``), so
-``image_stats`` / ``audio_stats`` / ``resize_nearest`` run end-to-end
-on real bytes. Compressed codecs (PNG/JPEG/MP3/H.264) remain a
-clearly-marked ``NotImplementedError`` — the sandbox ships no codec
-libraries — with the dispatch sniffing magic bytes so dropping in
-PIL/libsndfile upgrades those branches without touching the operators.
+Decode is REAL for every format expressible without a codec library —
+binary P6 PPM images and RIFF/PCM WAV audio are parsed with pure
+Python + numpy (header structs + ``np.frombuffer``), and PNG decodes
+with stdlib ``zlib`` (deflate) plus per-scanline un-filtering
+(None/Sub/Up/Average/Paeth) — so ``image_stats`` / ``audio_stats`` /
+``resize_nearest`` run end-to-end on real bytes, including the web's
+most common lossless image format. Codecs that genuinely require a
+library (JPEG/WebP/MP3/H.264) remain a clearly-marked
+``NotImplementedError`` — the sandbox ships none — with the dispatch
+sniffing magic bytes so dropping in PIL/libsndfile upgrades those
+branches without touching the operators.
 """
 
 from __future__ import annotations
@@ -139,16 +142,180 @@ def parse_wav(payload: bytes) -> tuple[dict, "np.ndarray"]:
     return meta, samples
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# PNG scanline filter ids (RFC 2083 §6)
+_PNG_NONE, _PNG_SUB, _PNG_UP, _PNG_AVG, _PNG_PAETH = range(5)
+
+
+def encode_png(img: "np.ndarray", row_filters: list[int] | None = None) -> bytes:
+    """(h, w, 3|4) or (h, w) uint8 -> PNG bytes (test-data synthesis).
+
+    ``row_filters`` picks the per-scanline filter type (default all 0 =
+    None) so tests can exercise every un-filter branch of
+    :func:`decode_png`. Stdlib-only: zlib deflate + crc32.
+    """
+    import struct
+    import zlib
+
+    a = np.ascontiguousarray(img.astype(np.uint8))
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch
+    filters = row_filters if row_filters is not None else [0] * h
+    raw = bytearray()
+    prev = np.zeros((w, ch), dtype=np.int16)
+    for y in range(h):
+        cur = a[y].astype(np.int16)
+        left = np.zeros_like(cur)
+        left[1:] = cur[:-1]
+        up_left = np.zeros_like(cur)
+        up_left[1:] = prev[:-1]
+        f = filters[y]
+        if f == _PNG_NONE:
+            enc = cur
+        elif f == _PNG_SUB:
+            enc = cur - left
+        elif f == _PNG_UP:
+            enc = cur - prev
+        elif f == _PNG_AVG:
+            enc = cur - (left + prev) // 2
+        elif f == _PNG_PAETH:
+            enc = cur - _paeth_predict(left, prev, up_left)
+        else:
+            raise ValueError(f"bad filter {f}")
+        raw.append(f)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth_predict(
+    left: "np.ndarray", up: "np.ndarray", up_left: "np.ndarray"
+) -> "np.ndarray":
+    p = left + up - up_left
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - up_left)
+    return np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, up_left)
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """PNG -> (h, w, 3) uint8, pure stdlib ``zlib`` + numpy.
+
+    PNG is deflate-compressed scanlines behind per-row filters — no
+    codec *library* needed: IHDR parse, IDAT inflate, then un-filter
+    None/Sub/Up/Average/Paeth per scanline (RFC 2083 §6). Supports the
+    overwhelmingly common web case: 8-bit depth, greyscale/RGB/RGBA
+    (color types 0/2/6), non-interlaced. Palette, 16-bit, and Adam7
+    interlacing raise ``NotImplementedError``. Greyscale is replicated
+    to 3 channels and alpha is dropped, so every image lands in the
+    same (h, w, 3) shape the stats/resize operators consume. Chunk CRCs
+    are not verified (a corrupt payload fails parse anyway, and the
+    ``image_stats`` contract maps any failure to ``decoded=false``).
+
+    Sub and Up un-filters are vectorized (Sub is a per-byte-lane prefix
+    sum -> ``np.cumsum``; Up is a running row add); Average/Paeth are
+    inherently sequential in the left neighbour, done per-pixel on the
+    few rows that use them.
+    """
+    import struct
+    import zlib
+
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i = len(PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while i + 8 <= len(payload):
+        (length,), tag = struct.unpack_from(">I", payload, i), payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + length]
+        i += 12 + length  # len + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("png missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise NotImplementedError("only 8-bit depth, deflate, filter-0 PNG")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlacing not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"palette color type {color_type} not supported")
+    bpp = channels
+    stride = 1 + w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * stride:
+        raise ValueError("png scanline data truncated")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    filters = rows[:, 0]
+    data = rows[:, 1:].reshape(h, w, bpp).astype(np.int16)
+    out = np.zeros((h, w, bpp), dtype=np.int16)
+    prev = np.zeros((w, bpp), dtype=np.int16)
+    for y in range(h):
+        f, cur = int(filters[y]), data[y]
+        if f == _PNG_NONE:
+            rec = cur.copy()
+        elif f == _PNG_SUB:
+            rec = np.cumsum(cur, axis=0, dtype=np.int64) % 256
+        elif f == _PNG_UP:
+            rec = (cur + prev) % 256
+        elif f in (_PNG_AVG, _PNG_PAETH):
+            rec = np.zeros_like(cur)
+            for x in range(w):
+                left = rec[x - 1] if x else np.zeros(bpp, dtype=np.int16)
+                up_left = prev[x - 1] if x else np.zeros(bpp, dtype=np.int16)
+                if f == _PNG_AVG:
+                    rec[x] = (cur[x] + (left + prev[x]) // 2) % 256
+                else:
+                    rec[x] = (cur[x] + _paeth_predict(left, prev[x], up_left)) % 256
+        else:
+            raise ValueError(f"bad png filter byte {f}")
+        out[y] = rec
+        prev = rec.astype(np.int16)
+    img = out.astype(np.uint8)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    if channels == 2:  # grey + alpha: replicate grey, drop alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGB, or RGBA with alpha dropped
+
+
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Dispatch on magic bytes: P6 PPM decodes for real; compressed
-    formats raise until a codec library is dropped in — everything
-    downstream (batch shape, schema, partitioning) already handles the
-    real thing."""
+    """Dispatch on magic bytes: P6 PPM and PNG decode for real (PPM is
+    a header parse; PNG is stdlib zlib + per-scanline un-filtering);
+    formats needing an actual codec library (JPEG/WebP/...) raise until
+    one is dropped in — everything downstream (batch shape, schema,
+    partitioning) already handles the real thing."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if payload.startswith(PNG_SIG):
+        return decode_png(payload)
     raise NotImplementedError(
-        "compressed image codec (png/jpeg/...) not available in this "
-        "environment; P6 PPM decodes natively"
+        "image codec not available for this format (jpeg/webp/...); "
+        "P6 PPM and 8-bit PNG decode natively"
     )
 
 

@@ -86,6 +86,22 @@ def _read_any(spark: SparkSession, path: str) -> DataFrame:
     return read_parquet(spark, path)
 
 
+def ids_uniquely_identify(df: DataFrame, ids: list[str]) -> bool:
+    """One aggregation: do ``ids`` uniquely identify rows? (the
+    reference's dataset-acceptance check, rlr.py:95,106; also driven
+    live by the packet-builder UI's id multiselect,
+    pages/01_data_input.py:110-126). The key is struct-wrapped: bare
+    ``countDistinct(*ids)`` SKIPS rows with a NULL in any id column
+    (SQL distinct-agg semantics), which would reject tables the
+    reference tool accepts — a struct with null fields is itself
+    non-null and counts."""
+    counts = df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.struct(*ids)).alias("nd"),
+    ).collect()[0]
+    return int(counts.n) == int(counts.nd)
+
+
 class ReviewSession:
     """The engine's equivalent of ``rlr(rev_packet_path)`` (rlr.py:29-44):
     load L, R, pairs per the packet, validate, flag existence, ready."""
@@ -142,15 +158,7 @@ class ReviewSession:
             missing = [c for c in ids if c not in df.columns]
             if missing:
                 raise AssertionError(f"data{side} missing id columns {missing}")
-            # struct-wrap the key: bare countDistinct(*ids) SKIPS rows
-            # with a NULL in any id column (SQL distinct-agg semantics),
-            # which would reject tables the reference tool accepts; a
-            # struct with null fields is itself non-null and counts
-            counts = df.agg(
-                F.count("*").alias("n"),
-                F.countDistinct(F.struct(*ids)).alias("nd"),
-            ).collect()[0]
-            if int(counts.n) != int(counts.nd):
+            if not ids_uniquely_identify(df, ids):
                 raise AssertionError(f"ids {ids} do not uniquely identify data{side}")
         # var-schema columns exist (rlr.py:253-256)
         for g in self.packet.var_group_schema:

@@ -118,3 +118,88 @@ def test_note_can_be_cleared_and_goto_is_own_form(served, spark):
     assert "temp note" not in page
     # the goto input lives in its own form: no nav field rides along
     assert page.count("<form") >= 4
+
+
+def test_packet_builder_end_to_end(spark, tmp_path):
+    """Build a packet FROM SCRATCH in the browser UI (the reference's
+    01_data_input flow: dataset paths, id multiselect with live
+    uniqueness validation, var-group editor, comps load, packet save)
+    and then review pair 0 with it on the same server."""
+    from rlr_spark.webui import make_app_server
+
+    data_l, data_r, pairs = generate_firm_fixtures()
+    pairs = pairs.drop_duplicates().query("ein != 999").reset_index(drop=True)
+    l_path = str(tmp_path / "dataL.parquet")
+    r_path = str(tmp_path / "dataR.parquet")
+    p_path = str(tmp_path / "pairs.parquet")
+    spark.createDataFrame(data_l).write.parquet(l_path)
+    spark.createDataFrame(data_r).write.parquet(r_path)
+    spark.createDataFrame(pairs).write.parquet(p_path)
+
+    out_packet = str(tmp_path / "built_packet.json")
+    server = make_app_server(
+        spark,
+        port=0,
+        packet_out_path=out_packet,
+        comp_pairs_path=str(tmp_path / "reviewed.parquet"),
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+
+    def post(route, **fields):
+        data = urllib.parse.urlencode(fields, doseq=True).encode()
+        req = urllib.request.Request(base + route, data=data, method="POST")
+        with urllib.request.urlopen(req) as resp:
+            return resp.read().decode("utf-8")
+
+    try:
+        # with no packet, / redirects to the builder
+        with urllib.request.urlopen(base + "/") as resp:
+            assert "Build Review Packet" in resp.read().decode()
+
+        page = post("/build", act="load_l", path=l_path)
+        assert "ein" in page and "choose which columns uniquely identify" in page
+        # non-unique id column -> the reference's red message, NOT loaded
+        page = post("/build", act="ids_l", ids=["addy_city"])
+        assert "do not uniquely identify rows" in page
+        page = post("/build", act="ids_l", ids=["ein"])
+        assert "valid identifiers" in page
+        page = post("/build", act="load_r", path=r_path)
+        page = post("/build", act="ids_r", ids=["ui_num"])
+        assert "valid identifiers" in page
+
+        # var-group editor unlocked now: name group 0, add + delete one
+        page = post("/build", act="vg_set_0", name="Name",
+                    lvars=["name"], rvars=["company_name"])
+        page = post("/build", act="vg_add")
+        assert page.count('name="act" value="vg_set_') == 2
+        page = post("/build", act="vg_del_1")
+        assert page.count('name="act" value="vg_set_') == 1
+
+        page = post("/build", act="labels", labels="Match, Not a Match")
+        # comps with a wrong path first: message, no crash
+        page = post("/build", act="load_comps", path=str(tmp_path / "nope.parquet"))
+        assert "could not read" in page
+        page = post("/build", act="load_comps", path=p_path)
+        assert "Successfully loaded" in page
+        page = post("/build", act="save", path=out_packet)
+        assert "packet saved" in page and "Start reviewing" in page
+
+        # the saved packet is a valid ReviewPacket with what we clicked
+        d = json.load(open(out_packet))
+        assert d["file_L_ids"] == ["ein"] and d["file_R_ids"] == ["ui_num"]
+        assert d["var_group_schema"] == [
+            {"name": "Name", "lvars": ["name"], "rvars": ["company_name"]}
+        ]
+        assert d["label_choices"] == ["Match", "Not a Match"]
+
+        # ...and the SAME server now reviews pair 0 with it
+        with urllib.request.urlopen(base + "/") as resp:
+            review = resp.read().decode()
+        assert "Record Pair 1 /" in review and "Name" in review
+        review = post("/", label="1")  # label pair 1 "Match"
+        reviewed = spark.read.parquet(str(tmp_path / "reviewed.parquet"))
+        assert reviewed.where("rlr_label = 'Match'").count() == 1
+    finally:
+        server.shutdown()
