@@ -55,6 +55,15 @@ class PipelineConfig:
     # "fixed" uses (m_text, u_text); "em" fits m/u unsupervised from the
     # similarity agreement patterns (scoring.estimate_mu_em) before labeling
     weights_mode: str = "fixed"
+    # 64: uid = xxhash64(url), validated collision-free by a corpus-wide
+    # aggregation each run. 128: uid = struct(xxhash64(url),
+    # xxhash64(url, 1)) — at 10^12 rows the 64-bit birthday bound
+    # expects ~27k collisions (n^2/2^65), so full scale REQUIRES this
+    # mode; collision probability drops to ~1e-15 (n^2/2^129) and the
+    # corpus-wide validator job is dropped entirely. Downstream joins/
+    # dedups key on the struct unchanged; only connected components
+    # needs a long node id, built over MATCHED nodes only (see run()).
+    uid_bits: int = 64
 
     def weights(self) -> FSWeights:
         return FSWeights(
@@ -237,16 +246,26 @@ class Pipeline:
             # imbalance it fixed.
             if df.rdd.getNumPartitions() < max(par // 3, 4):
                 df = df.repartition(par)
+            if cfg.uid_bits == 128:
+                uid_expr = F.struct(
+                    F.xxhash64(F.col(cfg.id_col)).alias("h1"),
+                    F.xxhash64(F.col(cfg.id_col), F.lit(1)).alias("h2"),
+                )
+            else:
+                uid_expr = F.xxhash64(F.col(cfg.id_col))
             extracted = (
                 extract_text(df.drop(cfg.text_col), out_col=cfg.text_col)
                 .drop("html")
-                .withColumn("uid", F.xxhash64(F.col(cfg.id_col)))
+                .withColumn("uid", uid_expr)
             )
-            # the check runs BEFORE the manifest is written: a collision
-            # aborts the stage and a restarted run re-checks, instead of
-            # resuming past a 'complete' manifest with colliding uids.
-            # One job; partial (map-side) aggregation keeps the shuffle
-            # to a handful of rows.
+            # 64-bit mode: the check runs BEFORE the manifest is written —
+            # a collision aborts the stage and a restarted run re-checks,
+            # instead of resuming past a 'complete' manifest with
+            # colliding uids. One job; partial (map-side) aggregation
+            # keeps the shuffle to a handful of rows.
+            # 128-bit mode: NO validator job — the birthday bound at
+            # 10^12 rows is ~1e-15, below any hardware error rate, so a
+            # corpus-wide aggregation to check it would be pure cost.
             def _check_uid_collisions(out: DataFrame) -> str:
                 counts = out.agg(
                     F.count("*").alias("n"), F.countDistinct("uid").alias("nu")
@@ -257,7 +276,12 @@ class Pipeline:
                     )
                 return f"uid_unique:{counts.n}"
 
-            self._write_stage("extract", extracted, t0, validate=_check_uid_collisions)
+            self._write_stage(
+                "extract",
+                extracted,
+                t0,
+                validate=None if cfg.uid_bits == 128 else _check_uid_collisions,
+            )
         extracted = self.catalog.read("extract")
 
         # pairs: multi-pass blocking, salted, capped, deduped — keyed on uid
@@ -305,16 +329,67 @@ class Pipeline:
             self._write_stage("score", labeled, t0)
         scored = self.catalog.read("score")
 
-        # cluster: transitive closure of Match pairs over all extracted ids.
-        # Edges are already longs (uid) — connected components runs on
-        # 16-byte edges; urls only rejoin for the final output table.
+        # cluster: transitive closure of Match pairs over all extracted ids
         if not self._stage_done("cluster"):
             t0 = time.time()
             edges = scored.where(F.col("rlr_label") == LABEL_MATCH).select(
                 F.col("l_id").alias("u"), F.col("r_id").alias("v")
             )
-            assign = connected_components(edges)
             ids = extracted.select("uid", cfg.id_col)
+            if cfg.uid_bits == 128:
+                # CC needs long node ids; the dictionary is built over
+                # MATCHED nodes only (nodes appearing in edges) — orders
+                # of magnitude smaller than the corpus; singletons never
+                # enter CC. xxhash64(struct) labels the matched set, with
+                # the fused collision check + exact _dense_ids fallback
+                # of cluster_pairs (here a collision is over the small
+                # matched set, so the check is cheap). entity_id stays
+                # 128-bit: the representative node's struct uid — a
+                # 64-bit entity label at 10^12 singletons would itself
+                # birthday-collide (~27k spurious merges in the OUTPUT).
+                from rlr_spark.operators.cluster import _dense_ids
+
+                nodes = (
+                    edges.select(F.col("u").alias("_id"))
+                    .unionByName(edges.select(F.col("v").alias("_id")))
+                    .distinct()
+                    .localCheckpoint(eager=False)
+                )
+                hashed = nodes.select("_id", F.xxhash64("_id").alias("_nid"))
+                counts = hashed.agg(
+                    F.count("*").alias("n"), F.countDistinct("_nid").alias("nh")
+                ).collect()[0]
+                if int(counts.n) != int(counts.nh):
+                    hashed = _dense_ids(nodes)
+                hashed = hashed.localCheckpoint(eager=False)
+                edges_l = (
+                    edges.join(hashed.withColumnRenamed("_id", "u"), "u")
+                    .withColumnRenamed("_nid", "un")
+                    .join(hashed.withColumnRenamed("_id", "v"), "v")
+                    .select(F.col("un").alias("u"), F.col("_nid").alias("v"))
+                )
+                assign_n = connected_components(edges_l)
+                # component label -> representative node's struct uid
+                rep = hashed.select(
+                    F.col("_nid").alias("entity_id"), F.col("_id").alias("_rep_uid")
+                )
+                assign = (
+                    assign_n.join(rep, "entity_id")
+                    .join(
+                        hashed.select(
+                            F.col("_nid").alias("node"), F.col("_id").alias("_node_uid")
+                        ),
+                        "node",
+                    )
+                    .select(
+                        F.col("_node_uid").alias("node"),
+                        F.col("_rep_uid").alias("entity_id"),
+                    )
+                )
+            else:
+                # edges are already longs (uid): CC runs on 16-byte
+                # edges; urls only rejoin for the final output table
+                assign = connected_components(edges)
             clusters = (
                 ids.join(assign, ids["uid"] == assign["node"], "left")
                 .select(

@@ -143,3 +143,44 @@ print("DONE", out["cluster"].count(), flush=True)
     assert os.path.getmtime(manifest) == extract_mtime  # extract not recomputed
     with open(os.path.join(wh, "_manifests", "cluster.json")) as f:
         assert json.load(f)["status"] == "complete"
+
+
+def test_uid128_mode_same_clusters_no_validator_job(spark, pipeline_out, run_dir):
+    """uid_bits=128: struct(xxhash64(url), xxhash64(url,1)) uids flow
+    through blocking/scoring/clustering unchanged, the corpus-wide
+    collision-validator job is DROPPED (no 'validated' manifest entry),
+    and the cluster partition of urls is identical to the 64-bit run."""
+    from pyspark.sql import functions as F
+
+    pipe64, out64, truth = pipeline_out
+    pages = spark.read.parquet(os.path.join(run_dir, "data", "web_pages.parquet"))
+    cat = Catalog(spark, os.path.join(run_dir, "warehouse128"))
+    pipe = Pipeline(
+        spark, cat, PipelineConfig(salt_k=2, max_block_size=None, uid_bits=128)
+    )
+    out = pipe.run(pages)
+
+    # extract manifest: collision validator skipped, uid is a 2-long struct
+    m = pipe.read_manifest("extract")
+    assert "validated" not in m, m
+    uid_type = out["extract"].schema["uid"].dataType.simpleString()
+    assert uid_type == "struct<h1:bigint,h2:bigint>"
+    m64 = pipe64.read_manifest("extract")
+    assert str(m64.get("validated", "")).startswith("uid_unique")
+
+    # F1 vs planted truth holds, and the url partition matches 64-bit:
+    # same url sets grouped together (entity labels differ by design)
+    scores = pairwise_f1(out["cluster"], truth)
+    assert scores["f1"] >= 0.99, scores
+
+    def url_groups(cl):
+        return {
+            tuple(sorted(r.urls))
+            for r in cl.groupBy("entity_id")
+            .agg(F.collect_list("url").alias("urls"))
+            .collect()
+        }
+
+    # re-read via the catalog: earlier tests re-materialized the stage,
+    # so the fixture's DataFrame points at replaced part files
+    assert url_groups(out["cluster"]) == url_groups(pipe64.catalog.read("cluster"))
