@@ -827,6 +827,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.orderBy(F.desc("n_docs"), "tok").limit(50)
 
+    # -- corpus unigram LM scoring: per-doc average token log-prob under
+    # the corpus unigram distribution — the perplexity-proxy quality
+    # filter of LLM-data pipelines (cheap KenLM stand-in); probability
+    # join on DISTINCT (doc, token) pairs, Zipf head pre-collapsed -----
+    def text_unigram_lm(spark, sf_dir):
+        from rlr_spark.functions.text import unigram_logprob
+
+        return unigram_logprob(_t(spark, sf_dir, "documents"))
+
     # -- deterministic stratified sampling: hash-gated keep per stratum
     # (reproducible train/dev splits; md5-based so the oracle mirrors
     # the gate bit-exactly — xxhash64 has no DuckDB counterpart) --------
@@ -921,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": text_pii,
         "corpus_filter": corpus_filter,
         "vocab_stats": vocab_stats,
+        "text_unigram_lm": text_unigram_lm,
         "sample_stratified": sample_stratified,
     }
 
@@ -1629,6 +1639,21 @@ def oracle_sql() -> dict[str, str]:
             FROM stats, total
             ORDER BY n_docs DESC, tok
             LIMIT 50
+        """,
+        "text_unigram_lm": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+              FROM documents WHERE trim(lower(text)) <> ''),
+            dt AS (
+              SELECT doc_id, tok, count(*)::BIGINT AS cnt
+              FROM tok GROUP BY doc_id, tok),
+            occ AS (SELECT tok, sum(cnt)::BIGINT AS n_occ FROM dt GROUP BY tok),
+            total AS (SELECT sum(n_occ)::DOUBLE AS n FROM occ)
+            SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+                   round(sum(cnt::DOUBLE * ln(n_occ::DOUBLE / total.n))
+                         / sum(cnt)::DOUBLE, 6) AS avg_logprob
+            FROM dt JOIN occ USING (tok), total
+            GROUP BY doc_id
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents

@@ -1,0 +1,500 @@
+"""Baseline JPEG codec in pure Python + numpy — no codec library.
+
+The reference treats media as opaque payloads; this engine decodes the
+web's dominant formats for real (SURVEY.md §2.6). PNG needed only
+stdlib zlib; baseline JFIF/JPEG (SOI/DQT/SOF0/DHT/SOS, 8-bit, Huffman,
+non-progressive — the overwhelming majority of web images) needs no
+library at all: every stage is spec arithmetic (ITU-T T.81):
+
+  entropy-coded segments --Huffman--> (run,size) symbols
+  --dequantize + un-zigzag--> 8x8 DCT coefficient blocks
+  --IDCT (one orthonormal matrix multiply per block)--> samples
+  --YCbCr -> RGB (BT.601 full-range, JFIF Annex)--> pixels
+
+The encoder exists for test synthesis (decode(encode(x)) must land
+within quantization distance of x) and writes 4:4:4, quality-scaled
+Annex-K tables, standard Annex-K Huffman tables. The decoder handles
+4:4:4 and the common 4:2:0/4:2:2 subsampling, restart markers, and
+either table arrangement. Progressive (SOF2) and arithmetic coding
+raise ``NotImplementedError`` explicitly.
+
+Decode runs inside Arrow-batched ``mapInPandas`` operators
+(multimodal.image_stats): per-payload Python is the right shape there —
+the payload is an opaque blob; no column expression can decode it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Spec constants (ITU-T T.81 Annex K) — public standard tables
+# --------------------------------------------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+LUM_Q = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+CHROM_Q = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# (bits[1..16], huffval) — Annex K.3
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# orthonormal DCT-II matrix: coeffs = T @ block @ T.T, block = T.T @ c @ T
+_T = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _T[_u, _x] = (0.5 if _u else 1 / np.sqrt(8)) * (
+            np.cos((2 * _x + 1) * _u * np.pi / 16) if _u else 1.0
+        )
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical Huffman per T.81 C.2."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for MSB-first bit-at-a-time decoding."""
+    return {
+        (length, code): sym for sym, (code, length) in _canonical_codes(bits, vals).items()
+    }
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a base quant table (public formula)."""
+    quality = min(max(quality, 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# Bit IO with 0xFF byte stuffing
+# --------------------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.i >= len(self.data):
+            raise ValueError("jpeg entropy data exhausted")
+        b = self.data[self.i]
+        self.i += 1
+        if b == 0xFF:
+            nxt = self.data[self.i] if self.i < len(self.data) else None
+            if nxt == 0x00:
+                self.i += 1  # stuffed byte
+            else:
+                # marker inside entropy data (e.g. EOI reached early)
+                raise ValueError("unexpected marker in entropy data")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def byte_align(self) -> None:
+        self.n = 0
+        self.acc = 0
+
+
+def _receive_extend(r: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = r.read_bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+# --------------------------------------------------------------------------
+# Encoder (test synthesis)
+# --------------------------------------------------------------------------
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1) + 0.5, 0, 255).astype(np.uint8)
+
+
+def _encode_block(
+    w: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+    pred: int,
+) -> int:
+    coeffs = _T @ (block - 128.0) @ _T.T
+    quant = np.round(coeffs / q).astype(np.int64)
+    zz = quant.reshape(-1)[ZIGZAG]
+
+    def put(sym_codes, sym, val, s):
+        code, length = sym_codes[sym]
+        w.write(code, length)
+        if s:
+            w.write(val if val >= 0 else val + (1 << s) - 1, s)
+
+    diff = int(zz[0]) - pred
+    s = int(abs(diff)).bit_length()
+    put(dc_codes, s, diff, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            put(ac_codes, 0xF0, 0, 0)  # ZRL
+            run -= 16
+        s = int(abs(v)).bit_length()
+        put(ac_codes, (run << 4) | s, v, s)
+        run = 0
+    if run:
+        put(ac_codes, 0x00, 0, 0)  # EOB
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, Annex-K
+    Huffman tables, IJG quality scaling). Pure numpy; test synthesis
+    and the inverse proof for :func:`decode_jpeg`."""
+    a = np.ascontiguousarray(img.astype(np.uint8))
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w0 = a.shape[:2]
+    lq = _quality_scale(LUM_Q, quality)
+    cq = _quality_scale(CHROM_Q, quality)
+
+    ycc = _rgb_to_ycbcr(a)
+    ph, pw = -(-h // 8) * 8, -(-w0 // 8) * 8
+    padded = np.pad(ycc, ((0, ph - h), (0, pw - w0), (0, 0)), mode="edge")
+
+    dc_l = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac_c = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (q, dcc, acc) in enumerate(
+                ((lq, dc_l, ac_l), (cq, dc_c, ac_c), (cq, dc_c, ac_c))
+            ):
+                preds[ci] = _encode_block(
+                    bw, padded[by : by + 8, bx : bx + 8, ci], q, dcc, acc, preds[ci]
+                )
+    entropy = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in q.reshape(-1)[ZIGZAG]))
+
+    def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w0, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt(0, lq) + dqt(1, cq)
+        + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+        + dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+        + dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+        + dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+        + sof + sos + entropy + b"\xff\xd9"
+    )
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF/JPEG -> (h, w, 3) uint8 RGB, pure numpy.
+
+    Supports SOF0 (baseline sequential Huffman), 1 or 3 components,
+    4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers. Progressive
+    (SOF2), arithmetic coding, and 12-bit precision raise
+    ``NotImplementedError`` — honestly out of scope, dispatched cleanly.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    i = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad marker alignment")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        length = struct.unpack_from(">H", payload, i + 2)[0]
+        body = payload[i + 4 : i + 2 + length]
+        i += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(body):
+                prec, tid = body[j] >> 4, body[j] & 0xF
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables not supported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[ZIGZAG] = np.frombuffer(body[j + 1 : j + 65], dtype=np.uint8)
+                qtables[tid] = tbl.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(body):
+                cls, tid = body[j] >> 4, body[j] & 0xF
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(body[j + 17 : j + 17 + n])
+                htables[(cls, tid)] = _decode_table(bits, vals)
+                j += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, h, w0, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for c in range(nc):
+                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "q": qid})
+            frame = {"h": h, "w": w0, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/lossless) not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            sel = {}
+            for c in range(ns):
+                cid, tids = body[1 + 2 * c], body[2 + 2 * c]
+                sel[cid] = (tids >> 4, tids & 0xF)
+            return _decode_scan(
+                payload, i, frame, sel, qtables, htables, restart_interval
+            )
+        # other markers (APPn, COM): skipped
+    raise ValueError("jpeg has no scan")
+
+
+def _decode_scan(payload, i, frame, sel, qtables, htables, restart_interval):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+
+    r = _BitReader(payload[i:])
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # RSTn marker: byte-align, consume the marker, reset preds
+                r.byte_align()
+                while r.i + 1 < len(r.data) and r.data[r.i] == 0xFF and (
+                    0xD0 <= r.data[r.i + 1] <= 0xD7
+                ):
+                    r.i += 2
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t = htables.get((0, sel[c["id"]][0]))
+                ac_t = htables.get((1, sel[c["id"]][1]))
+                q = qtables[c["q"]]
+                if dc_t is None or ac_t is None:
+                    raise ValueError("missing huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _decode_symbol(r, dc_t)
+                        preds[ci] += _receive_extend(r, s)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_symbol(r, ac_t)
+                            rrrr, ssss = rs >> 4, rs & 0xF
+                            if ssss == 0:
+                                if rrrr == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += rrrr
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _receive_extend(r, ssss)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = zz * q.reshape(-1)[ZIGZAG]
+                        pix = _T.T @ block.reshape(8, 8) @ _T + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+            mcu_count += 1
+
+    h, w0 = frame["h"], frame["w"]
+    if len(comps) == 1:
+        y = np.clip(planes[0][:h, :w0] + 0.5, 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    # upsample chroma to luma grid (nearest — the JFIF common case)
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = p.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
+        full.append(p[: mcuy * 8 * vmax, : mcux * 8 * hmax])
+    ycc = np.stack(full, axis=-1)[:h, :w0]
+    return _ycbcr_to_rgb(ycc)

@@ -4,17 +4,17 @@ Image/audio/video payloads are carried as ``binary`` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` operators.
 
-Decode is REAL for every format expressible without a codec library —
-binary P6 PPM images and RIFF/PCM WAV audio are parsed with pure
-Python + numpy (header structs + ``np.frombuffer``), and PNG decodes
-with stdlib ``zlib`` (deflate) plus per-scanline un-filtering
-(None/Sub/Up/Average/Paeth) — so ``image_stats`` / ``audio_stats`` /
-``resize_nearest`` run end-to-end on real bytes, including the web's
-most common lossless image format. Codecs that genuinely require a
-library (JPEG/WebP/MP3/H.264) remain a clearly-marked
-``NotImplementedError`` — the sandbox ships none — with the dispatch
-sniffing magic bytes so dropping in PIL/libsndfile upgrades those
-branches without touching the operators.
+Decode is REAL for the web's dominant image formats and uncompressed
+audio — binary P6 PPM and RIFF/PCM WAV parse with pure Python + numpy
+(header structs + ``np.frombuffer``), PNG decodes with stdlib ``zlib``
+(deflate) plus per-scanline un-filtering (None/Sub/Up/Average/Paeth),
+and baseline JFIF/JPEG decodes through a pure-numpy Huffman + IDCT
+pipeline (:mod:`rlr_spark.functions.jpeg`) — so ``image_stats`` /
+``audio_stats`` / ``resize_nearest`` run end-to-end on real bytes.
+The remaining codecs (WebP/AVIF/MP3/H.264, progressive JPEG) stay a
+clearly-marked ``NotImplementedError`` — the sandbox ships no codec
+library — with the dispatch sniffing magic bytes so dropping in
+PIL/libsndfile upgrades those branches without touching the operators.
 """
 
 from __future__ import annotations
@@ -304,18 +304,24 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Dispatch on magic bytes: P6 PPM and PNG decode for real (PPM is
-    a header parse; PNG is stdlib zlib + per-scanline un-filtering);
-    formats needing an actual codec library (JPEG/WebP/...) raise until
-    one is dropped in — everything downstream (batch shape, schema,
-    partitioning) already handles the real thing."""
+    """Dispatch on magic bytes: P6 PPM, PNG, and baseline JPEG all
+    decode for real (PPM is a header parse; PNG is stdlib zlib +
+    per-scanline un-filtering; JPEG is a pure-numpy Huffman + IDCT
+    pipeline, :mod:`rlr_spark.functions.jpeg`); the remaining formats
+    (WebP/AVIF/...) raise until a codec library is dropped in —
+    everything downstream (batch shape, schema, partitioning) already
+    handles the real thing."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(PNG_SIG):
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from rlr_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "image codec not available for this format (jpeg/webp/...); "
-        "P6 PPM and 8-bit PNG decode natively"
+        "image codec not available for this format (webp/avif/...); "
+        "P6 PPM, 8-bit PNG, and baseline JPEG decode natively"
     )
 
 

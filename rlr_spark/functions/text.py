@@ -315,3 +315,55 @@ def fingerprint_sql(col: str = "text") -> str:
         f"i -> ascii(substr({col}, i::INTEGER, 1)))), "
         f"(acc, ch) -> (acc * {_FP_BASE} + ch) % {_FP_MOD})"
     )
+
+
+def unigram_logprob(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document average token log-probability under the CORPUS
+    unigram distribution — the classic perplexity-proxy quality signal
+    (docs full of corpus-typical tokens score high; gibberish,
+    boilerplate-heavy, or off-distribution docs score low; the cheap
+    stand-in for a KenLM filter in LLM-data pipelines).
+
+    Returns (id, n_tokens, avg_logprob) with ``avg_logprob =
+    sum(cnt_t * ln(n_occ_t / N)) / n_tokens`` over the doc's distinct
+    tokens t (lower-cased whitespace tokens; empty docs are excluded).
+    MLE, no smoothing: every scored token exists in the corpus by
+    construction.
+
+    Scale: tokenization is one explode + two groupBys on evenly-hashed
+    keys; the probability join runs on DISTINCT (doc, token) pairs —
+    collapsing per-doc repeats first cuts the Zipf head ("the" in every
+    doc) by its in-doc multiplicity before the join shuffle, and AQE's
+    skew-join split handles the residual head. The vocab relation is
+    |vocab| rows (~1e7-1e8 at web scale — broadcastable when hashed;
+    left to the optimizer here). The corpus total N is a 1-row
+    broadcast, never a driver collect.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    tok = df.where(t != "").select(
+        F.col(id_col), F.explode(F.split(t, r"\s+")).alias("tok")
+    )
+    # distinct (doc, token) with in-doc multiplicity
+    dt = tok.groupBy(id_col, "tok").agg(F.count("*").alias("cnt"))
+    dt = dt.localCheckpoint(eager=False)  # consumed twice (occ + join)
+    occ = dt.groupBy("tok").agg(F.sum("cnt").alias("n_occ"))
+    total = occ.agg(F.sum("n_occ").alias("N"))
+    probs = occ.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("n_occ").cast("double") / F.col("N").cast("double")).alias("p")
+    )
+    return (
+        dt.join(probs, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt").cast("double") * F.log("p"))
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -205,3 +205,69 @@ def test_image_stats_decodes_real_png(spark):
     assert got[1].decoded and (got[1].width, got[1].height) == (6, 4)
     assert (got[1].mean_r, got[1].mean_g, got[1].mean_b) == (200.0, 100.0, 50.0)
     assert not got[2].decoded
+
+
+def test_jpeg_roundtrip_within_quantization():
+    """Baseline JPEG decode is a real Huffman+IDCT pipeline: a flat
+    image round-trips exactly; a noisy gradient lands within lossy
+    quantization distance; odd sizes exercise edge padding."""
+    import numpy as np
+
+    from rlr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from rlr_spark.functions.multimodal import decode_image
+
+    flat = np.full((16, 24, 3), (200, 100, 50), dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, quality=90)), flat)
+
+    rng = np.random.default_rng(3)
+    grad = (
+        np.linspace(0, 255, 32 * 40 * 3).reshape(32, 40, 3)
+        + rng.normal(0, 8, (32, 40, 3))
+    ).clip(0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=95))
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.mean() < 5 and err.max() < 32
+
+    odd = rng.integers(0, 255, (13, 19, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, quality=95)).shape == (13, 19, 3)
+
+    # dispatch: magic bytes route to the real decoder
+    assert np.array_equal(decode_image(encode_jpeg(flat, quality=90)), flat)
+
+
+def test_jpeg_unsupported_and_truncated():
+    import numpy as np
+    import pytest as _pytest
+
+    from rlr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    # flip SOF0 -> SOF2 (progressive): explicit NotImplementedError
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError, match="progressive|SOF"):
+        decode_jpeg(bytes(payload))
+    # truncated entropy data: ValueError (image_stats maps to decoded=false)
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(encode_jpeg(img))[:40] + b"\xff\xd9")
+
+
+def test_image_stats_decodes_real_jpeg(spark):
+    import numpy as np
+
+    from rlr_spark.functions.jpeg import encode_jpeg
+    from rlr_spark.functions.multimodal import MEDIA_SCHEMA, image_stats
+
+    img = np.full((8, 8, 3), (120, 60, 30), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_jpeg(img, quality=90)), (8, 8, None, "image/jpeg")),
+        (2, "image", bytearray(b"RIFF....WEBP"), (0, 0, None, "image/webp")),
+    ]
+    got = {
+        r.media_id: r
+        for r in image_stats(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()
+    }
+    assert got[1].decoded and (got[1].width, got[1].height) == (8, 8)
+    assert (got[1].mean_r, got[1].mean_g, got[1].mean_b) == (120.0, 60.0, 30.0)
+    assert not got[2].decoded  # webp stays an honest stub

@@ -118,3 +118,22 @@ def test_repetition_stats_newline_corpus(spark):
     r4 = out[4]
     assert r4.n_lines == 0 and r4.dup_line_frac == 0.0
     assert r4.top2gram_count == 0 and r4.top2gram_mass == 0.0
+
+
+def test_unigram_logprob(spark):
+    """Hand-computed MLE unigram log-probs: corpus 'a a b' + 'a c' has
+    p(a)=3/5, p(b)=p(c)=1/5; doc 1 avg = (2*ln(3/5)+ln(1/5))/3."""
+    import math
+
+    from rlr_spark.functions.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "   ")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert set(got) == {1, 2}  # blank doc excluded
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 2
+    exp1 = (2 * math.log(3 / 5) + math.log(1 / 5)) / 3
+    exp2 = (math.log(3 / 5) + math.log(1 / 5)) / 2
+    assert abs(got[1].avg_logprob - round(exp1, 6)) < 1e-9
+    assert abs(got[2].avg_logprob - round(exp2, 6)) < 1e-9
