@@ -291,20 +291,44 @@ def _encode_block(
     return int(zz[0])
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, Annex-K
-    Huffman tables, IJG quality scaling). Pure numpy; test synthesis
-    and the inverse proof for :func:`decode_jpeg`."""
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex-K Huffman
+    tables, IJG quality scaling). Pure numpy; test synthesis and the
+    inverse proof for :func:`decode_jpeg`.
+
+    ``subsampling``: ``"444"`` (one 8x8 MCU, chroma full-res) or
+    ``"420"`` (16x16 MCU: 4 Y blocks + 2x2-mean-downsampled Cb, Cr —
+    the web's dominant layout). ``restart_interval`` > 0 emits a DRI
+    segment and an RSTn marker every that-many MCUs (DC predictors
+    reset, bitstream byte-aligned) — exercising the decoder's restart
+    path with real bytes.
+    """
     a = np.ascontiguousarray(img.astype(np.uint8))
     if a.ndim == 2:
         a = np.repeat(a[:, :, None], 3, axis=2)
     h, w0 = a.shape[:2]
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sh = sv = 2 if subsampling == "420" else 1
+    mcu = 8 * sh
     lq = _quality_scale(LUM_Q, quality)
     cq = _quality_scale(CHROM_Q, quality)
 
     ycc = _rgb_to_ycbcr(a)
-    ph, pw = -(-h // 8) * 8, -(-w0 // 8) * 8
+    ph, pw = -(-h // mcu) * mcu, -(-w0 // mcu) * mcu
     padded = np.pad(ycc, ((0, ph - h), (0, pw - w0), (0, 0)), mode="edge")
+    y_plane = padded[..., 0]
+    if sh == 2:
+        # 2x2 mean chroma downsample — the standard decimation
+        cb = padded[..., 1].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        cr = padded[..., 2].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    else:
+        cb, cr = padded[..., 1], padded[..., 2]
 
     dc_l = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
     ac_l = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
@@ -313,15 +337,36 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
 
     bw = _BitWriter()
     preds = [0, 0, 0]
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, (q, dcc, acc) in enumerate(
-                ((lq, dc_l, ac_l), (cq, dc_c, ac_c), (cq, dc_c, ac_c))
-            ):
-                preds[ci] = _encode_block(
-                    bw, padded[by : by + 8, bx : bx + 8, ci], q, dcc, acc, preds[ci]
-                )
-    entropy = bw.flush()
+    entropy = bytearray()
+    mcu_count = 0
+    rst = 0
+    for my in range(0, ph, mcu):
+        for mx in range(0, pw, mcu):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                entropy += bw.flush()
+                bw = _BitWriter()
+                entropy += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            for by in range(sv):  # Y blocks, raster order within the MCU
+                for bx in range(sh):
+                    preds[0] = _encode_block(
+                        bw,
+                        y_plane[
+                            my + by * 8 : my + by * 8 + 8,
+                            mx + bx * 8 : mx + bx * 8 + 8,
+                        ],
+                        lq, dc_l, ac_l, preds[0],
+                    )
+            cy, cx = my // sv, mx // sh
+            preds[1] = _encode_block(
+                bw, cb[cy : cy + 8, cx : cx + 8], cq, dc_c, ac_c, preds[1]
+            )
+            preds[2] = _encode_block(
+                bw, cr[cy : cy + 8, cx : cx + 8], cq, dc_c, ac_c, preds[2]
+            )
+            mcu_count += 1
+    entropy += bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -332,20 +377,22 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     def dht(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
         return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
+    samp_y = (sh << 4) | sv
     sof = seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w0, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
     )
     sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     return (
         b"\xff\xd8" + app0 + dqt(0, lq) + dqt(1, cq)
         + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
         + dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
         + dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
         + dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
-        + sof + sos + entropy + b"\xff\xd9"
+        + dri + sof + sos + bytes(entropy) + b"\xff\xd9"
     )
 
 

@@ -271,3 +271,29 @@ def test_image_stats_decodes_real_jpeg(spark):
     assert got[1].decoded and (got[1].width, got[1].height) == (8, 8)
     assert (got[1].mean_r, got[1].mean_g, got[1].mean_b) == (120.0, 60.0, 30.0)
     assert not got[2].decoded  # webp stays an honest stub
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    """The decoder's 4:2:0 (2x2 chroma) and RSTn restart paths, driven
+    with real bytes from the encoder's matching options."""
+    import numpy as np
+
+    from rlr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((20, 28, 3), (180, 90, 45), dtype=np.uint8)
+    for sub in ("444", "420"):
+        for ri in (0, 2):
+            out = decode_jpeg(
+                encode_jpeg(flat, quality=90, subsampling=sub, restart_interval=ri)
+            )
+            assert np.array_equal(out, flat), (sub, ri)
+
+    rng = np.random.default_rng(5)
+    grad = (
+        np.linspace(0, 255, 33 * 41 * 3).reshape(33, 41, 3)
+        + rng.normal(0, 6, (33, 41, 3))
+    ).clip(0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=95, subsampling="420", restart_interval=3))
+    err = np.abs(out.astype(int) - grad.astype(int))
+    # chroma decimation adds error on color edges but stays bounded
+    assert err.mean() < 7 and err.max() < 48
