@@ -239,9 +239,11 @@ def _variance_md(current: dict) -> str:
         "within a single run, and the job's efficiency tracks it."
     )
     rows = "\n".join(
-        "| {i} | {c} | {codec}/{tm} | {eo} | {es} | {cl}-{ch} |".format(
+        "| {i} | {c} | {codec}/{tm}{mp} | {eo} | {es} | {cl}-{ch} |".format(
             i=i + 1, c=d.get("commit", "?"), codec=d.get("codec", "lz4"),
             tm="tmpfs" if d.get("shuffle_tmpfs") else "disk",
+            mp="" if d.get("max_partition_bytes", "2m") == "2m"
+            else "/maxpb=" + d["max_partition_bytes"],
             eo=d.get("efficiency_overall"), es=d.get("efficiency_score_stage"),
             cl=d.get("membw_ceiling_min", "?"), ch=d.get("membw_ceiling_max", "?"),
         )
