@@ -418,9 +418,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("bad marker alignment")
+        # optional 0xFF fill bytes before a marker are legal
+        # (ITU-T T.81 B.1.1.2) and emitted by some encoder stacks
+        while i + 1 < len(payload) and payload[i + 1] == 0xFF:
+            i += 1
         marker = payload[i + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers (TEM/RSTn): no length field
+            continue
         length = struct.unpack_from(">H", payload, i + 2)[0]
         body = payload[i + 4 : i + 2 + length]
         i += 2 + length

@@ -233,8 +233,11 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
     Sub and Up un-filters are vectorized (Sub is a per-byte-lane prefix
     sum -> ``np.cumsum``; Up is a running row add); Average/Paeth are
-    inherently sequential in the left neighbour, done per-pixel on the
-    few rows that use them.
+    inherently sequential in the left neighbour and run as a plain-int
+    Python scan per row — real encoders pick them for most photographic
+    rows, so this path is the common one and avoids per-pixel numpy
+    dispatch. For bulk production decode a codec library still wins;
+    this keeps the sandbox honest and correct.
     """
     import struct
     import zlib
@@ -283,14 +286,28 @@ def decode_png(payload: bytes) -> "np.ndarray":
         elif f == _PNG_UP:
             rec = (cur + prev) % 256
         elif f in (_PNG_AVG, _PNG_PAETH):
-            rec = np.zeros_like(cur)
-            for x in range(w):
-                left = rec[x - 1] if x else np.zeros(bpp, dtype=np.int16)
-                up_left = prev[x - 1] if x else np.zeros(bpp, dtype=np.int16)
-                if f == _PNG_AVG:
-                    rec[x] = (cur[x] + (left + prev[x]) // 2) % 256
-                else:
-                    rec[x] = (cur[x] + _paeth_predict(left, prev[x], up_left)) % 256
+            # inherently sequential in the left neighbour; plain-int
+            # Python (no per-pixel numpy dispatch/temporaries — those
+            # were ~20x slower, and real encoders pick Average/Paeth for
+            # MOST photographic rows, not a rare few)
+            n = w * bpp
+            cur_l = cur.reshape(-1).tolist()
+            prev_l = prev.reshape(-1).tolist()
+            rec_l = [0] * n
+            if f == _PNG_AVG:
+                for x in range(n):
+                    left = rec_l[x - bpp] if x >= bpp else 0
+                    rec_l[x] = (cur_l[x] + ((left + prev_l[x]) >> 1)) & 0xFF
+            else:
+                for x in range(n):
+                    left = rec_l[x - bpp] if x >= bpp else 0
+                    up = prev_l[x]
+                    ul = prev_l[x - bpp] if x >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    rec_l[x] = (cur_l[x] + pred) & 0xFF
+            rec = np.array(rec_l, dtype=np.int16).reshape(w, bpp)
         else:
             raise ValueError(f"bad png filter byte {f}")
         out[y] = rec

@@ -212,6 +212,32 @@ def _dense_ids(ids: DataFrame) -> DataFrame:
     )
 
 
+def node_dictionary(ids: DataFrame) -> DataFrame:
+    """ids(_id) -> exact (_id, _nid long) node dictionary.
+
+    Integral ids pass through (the id IS the node: no hash, no check,
+    zero extra jobs). Anything else — strings, 128-bit uid structs —
+    gets xxhash64 labels with ONE fused count/countDistinct collision
+    check (a hash collision would MERGE two entities, so the dictionary
+    must be exact) and the sorted ``_dense_ids`` fallback on the ~never
+    collision. Shared by :func:`cluster_pairs` and the pipeline's
+    128-bit-uid cluster stage — one copy of a correctness-critical
+    check.
+    """
+    if isinstance(ids.schema["_id"].dataType, (T.LongType, T.IntegerType)):
+        return ids.select("_id", F.col("_id").cast("long").alias("_nid"))
+    hashed = ids.select("_id", F.xxhash64("_id").alias("_nid"))
+    # ONE pass over the dictionary (count + countDistinct fuse into a
+    # single aggregation job) — at 10^12 ids a second full scan just to
+    # detect the ~never collision would double the cost
+    counts = hashed.agg(
+        F.count("*").alias("n"), F.countDistinct("_nid").alias("nh")
+    ).collect()[0]
+    if int(counts.nh) != int(counts.n):
+        return _dense_ids(ids)
+    return hashed
+
+
 def cluster_pairs(
     match_pairs: DataFrame,
     all_ids: DataFrame,
@@ -239,18 +265,7 @@ def cluster_pairs(
     xxhash64(url), validated unique at the extract stage) lands here.
     """
     ids = all_ids.select(F.col(id_col).alias("_id")).distinct()
-    if isinstance(ids.schema["_id"].dataType, (T.LongType, T.IntegerType)):
-        hashed = ids.select("_id", F.col("_id").cast("long").alias("_nid"))
-    else:
-        hashed = ids.select("_id", F.xxhash64("_id").alias("_nid"))
-        # ONE pass over the dictionary (count + countDistinct fuse into
-        # a single aggregation job) — at 10^12 ids a second full scan
-        # just to detect the ~never collision would double the cost
-        counts = hashed.agg(
-            F.count("*").alias("n"), F.countDistinct("_nid").alias("nh")
-        ).collect()[0]
-        if int(counts.nh) != int(counts.n):
-            hashed = _dense_ids(ids)
+    hashed = node_dictionary(ids)
 
     le = hashed.select(F.col("_id").alias("l_id"), F.col("_nid").alias("u"))
     re_ = hashed.select(F.col("_id").alias("r_id"), F.col("_nid").alias("v"))

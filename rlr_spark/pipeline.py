@@ -340,14 +340,14 @@ class Pipeline:
                 # CC needs long node ids; the dictionary is built over
                 # MATCHED nodes only (nodes appearing in edges) — orders
                 # of magnitude smaller than the corpus; singletons never
-                # enter CC. xxhash64(struct) labels the matched set, with
-                # the fused collision check + exact _dense_ids fallback
-                # of cluster_pairs (here a collision is over the small
-                # matched set, so the check is cheap). entity_id stays
+                # enter CC. The shared node_dictionary helper labels the
+                # matched set (xxhash64(struct) + fused collision check
+                # + exact dense fallback; over the small matched set the
+                # check is cheap). entity_id stays
                 # 128-bit: the representative node's struct uid — a
                 # 64-bit entity label at 10^12 singletons would itself
                 # birthday-collide (~27k spurious merges in the OUTPUT).
-                from rlr_spark.operators.cluster import _dense_ids
+                from rlr_spark.operators.cluster import node_dictionary
 
                 nodes = (
                     edges.select(F.col("u").alias("_id"))
@@ -355,13 +355,7 @@ class Pipeline:
                     .distinct()
                     .localCheckpoint(eager=False)
                 )
-                hashed = nodes.select("_id", F.xxhash64("_id").alias("_nid"))
-                counts = hashed.agg(
-                    F.count("*").alias("n"), F.countDistinct("_nid").alias("nh")
-                ).collect()[0]
-                if int(counts.n) != int(counts.nh):
-                    hashed = _dense_ids(nodes)
-                hashed = hashed.localCheckpoint(eager=False)
+                hashed = node_dictionary(nodes).localCheckpoint(eager=False)
                 edges_l = (
                     edges.join(hashed.withColumnRenamed("_id", "u"), "u")
                     .withColumnRenamed("_nid", "un")

@@ -273,7 +273,16 @@ def incremental_neardup_stream(
             return
         raw = (
             batch_df.select("url", F.col(text_col).alias("text"))
-            .dropDuplicates(["url"])
+            # DETERMINISTIC per-url pick (min text), not dropDuplicates:
+            # dropDuplicates keeps an arrival-order-dependent row, so a
+            # REPLAY of a crashed batch could pick a different text whose
+            # band keys land in different _kb partitions — the dynamic
+            # overwrite would then replace only the new partitions and
+            # orphan the crashed attempt's key rows. min() makes replays
+            # byte-identical, which is what the per-batch partition
+            # overwrite needs to be exactly-once.
+            .groupBy("url")
+            .agg(F.min("text").alias("text"))
             .localCheckpoint(eager=True)
         )
         acc_docs = _read_or_empty(

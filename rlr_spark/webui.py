@@ -282,6 +282,12 @@ class PacketBuilderUI:
             # pages/01:122-126
             s.update(ids=ids, loaded=False,
                      msg="** Variables chosen do not uniquely identify rows. **")
+        # id columns are what the comps file was validated AGAINST — a
+        # later id change must re-validate (or invalidate) the comps
+        # load, or "Save" could emit a packet whose pair file lacks the
+        # new id columns and the review page would blow up on open
+        if self.comps["loaded"]:
+            self._load_comps(self.comps["path"])
 
     def _load_comps(self, path: str) -> None:
         from rlr_spark.sources.packet import _read_any
@@ -493,7 +499,18 @@ def make_app_server(
             if self.path.startswith("/build"):
                 self._html(builder.page())
                 return
-            web = _reviewer()
+            try:
+                web = _reviewer()
+            except Exception as e:  # noqa: BLE001 — render, don't drop
+                # a bad packet (e.g. hand-edited ids) must surface as a
+                # readable page, not a reset connection
+                self._html(
+                    "<!doctype html><body><h2>packet failed to load</h2>"
+                    f"<pre>{_esc(e)}</pre>"
+                    '<p><a href="/build">back to the builder</a></p></body>',
+                    status=500,
+                )
+                return
             if web is None:
                 self._redirect("/build")
             else:
@@ -508,7 +525,11 @@ def make_app_server(
                 builder.apply(form)
                 self._redirect("/build")
                 return
-            web = _reviewer()
+            try:
+                web = _reviewer()
+            except Exception:  # noqa: BLE001 — GET / renders the error
+                self._redirect("/")
+                return
             if web is None:
                 self._redirect("/build")
             else:

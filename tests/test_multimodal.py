@@ -297,3 +297,18 @@ def test_jpeg_420_subsampling_and_restart_markers():
     err = np.abs(out.astype(int) - grad.astype(int))
     # chroma decimation adds error on color edges but stays bounded
     assert err.mean() < 7 and err.max() < 48
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """0xFF fill bytes before a marker are legal (T.81 B.1.1.2) and
+    emitted by some encoder stacks — the parser must skip them."""
+    import numpy as np
+
+    from rlr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((8, 8, 3), (90, 150, 210), dtype=np.uint8)
+    payload = encode_jpeg(img, quality=90)
+    # inject fill bytes before the DQT marker
+    i = payload.find(b"\xff\xdb")
+    padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    assert np.array_equal(decode_jpeg(padded), img)

@@ -256,7 +256,10 @@ def test_streaming_torn_write_replays_exactly_once(spark, tmp_path):
     batches = [
         [("u1", base), ("u2", "one two three four five six")],
         [("u3", near)],
-        [("u4", base)],
+        # u4 appears TWICE with different texts: the per-url pick must be
+        # deterministic (min text = base) so a replay regenerates the
+        # exact same band keys and overwrites the exact same partitions
+        [("u4", "zz unrelated words here entirely"), ("u4", base)],
     ]
     for i, rows in enumerate(batches):
         spark.createDataFrame(rows, "url string, text string").selectExpr(

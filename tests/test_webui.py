@@ -203,3 +203,43 @@ def test_packet_builder_end_to_end(spark, tmp_path):
         assert reviewed.where("rlr_label = 'Match'").count() == 1
     finally:
         server.shutdown()
+
+
+def test_packet_builder_id_change_invalidates_comps(spark, tmp_path):
+    """Changing id columns AFTER the comps file is loaded must
+    re-validate it against the new ids — otherwise Save could emit a
+    packet whose pair file lacks the id columns."""
+    from rlr_spark.webui import PacketBuilderUI
+
+    data_l, data_r, pairs = generate_firm_fixtures()
+    pairs = pairs.drop_duplicates().query("ein != 999").reset_index(drop=True)
+    l_path, r_path, p_path = (
+        str(tmp_path / "L.parquet"), str(tmp_path / "R.parquet"),
+        str(tmp_path / "P.parquet"),
+    )
+    spark.createDataFrame(data_l).write.parquet(l_path)
+    spark.createDataFrame(data_r).write.parquet(r_path)
+    spark.createDataFrame(pairs).write.parquet(p_path)
+
+    b = PacketBuilderUI(spark, packet_out_path=str(tmp_path / "pkt.json"))
+    b.apply({"act": ["load_l"], "path": [l_path]})
+    b.apply({"act": ["ids_l"], "ids": ["ein"]})
+    b.apply({"act": ["load_r"], "path": [r_path]})
+    b.apply({"act": ["ids_r"], "ids": ["ui_num"]})
+    b.apply({"act": ["load_comps"], "path": [p_path]})
+    assert b.comps["loaded"]
+
+    # 'name' is unique too, but the pairs file has no 'name' column:
+    # the comps load must flip to invalid with the missing-column message
+    b.apply({"act": ["ids_l"], "ids": ["name"]})
+    assert b.sides["l"]["loaded"] and not b.comps["loaded"]
+    assert "missing id columns" in b.comps["msg"]
+    b.apply({"act": ["save"], "path": [str(tmp_path / "pkt.json")]})
+    assert "load both data sets and a comparison file" in b.saved_msg
+
+    # back to valid ids: comps must be reloadable and save succeeds
+    b.apply({"act": ["ids_l"], "ids": ["ein"]})
+    b.apply({"act": ["load_comps"], "path": [p_path]})
+    assert b.comps["loaded"]
+    b.apply({"act": ["save"], "path": [str(tmp_path / "pkt.json")]})
+    assert "packet saved" in b.saved_msg
