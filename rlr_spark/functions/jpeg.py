@@ -404,9 +404,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF/JPEG -> (h, w, 3) uint8 RGB, pure numpy.
 
     Supports SOF0 (baseline sequential Huffman), 1 or 3 components,
-    4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers. Progressive
-    (SOF2), arithmetic coding, and 12-bit precision raise
+    4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers, and fill bytes.
+    Progressive (SOF2), arithmetic coding, and 12-bit precision raise
     ``NotImplementedError`` — honestly out of scope, dispatched cleanly.
+
+    The entropy decode is bit-at-a-time Python — correct and fine for
+    thumbnails/test payloads; for bulk production decode of large
+    photographs a codec library still wins by orders of magnitude
+    (drop one into :func:`decode_image`'s dispatch and this path
+    becomes the fallback).
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")

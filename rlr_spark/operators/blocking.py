@@ -303,6 +303,8 @@ def block_pairs_lr(
     salt_threshold: int = 512,
     pass_name: str = "block_lr",
     canonicalize: bool = False,
+    carry_cols: tuple[str, ...] = (),
+    pair_filter: Column | None = None,
 ) -> tuple[DataFrame, BlockStats]:
     """TWO-DATASET candidate pairs within blocking keys: L x R per key.
 
@@ -325,11 +327,20 @@ def block_pairs_lr(
     reducers) and the smaller side replicates across the grid. Blocks
     with more than ``max_block_size`` rows on either side are dropped
     AND logged via the returned :class:`BlockStats`.
+
+    ``carry_cols`` / ``pair_filter`` work exactly as in
+    :func:`block_pairs`: the named columns travel with each side into
+    the join as ``l_<col>`` / ``r_<col>`` and the boolean filter prunes
+    candidates INSIDE the join stage, before the pair-dedup shuffle —
+    how a linkage similarity join applies its length/positional filters
+    without materializing the pruned pairs. With ``canonicalize=True``
+    the filter sees the PRE-canonicalization sides (``l_`` = the
+    new/left relation), so use an order-symmetric predicate there.
     """
-    left = keyed_l.select(F.col(id_col_l), F.col(key_col)).where(
+    left = keyed_l.select(F.col(id_col_l), F.col(key_col), *carry_cols).where(
         F.col(key_col).isNotNull()
     ).localCheckpoint(eager=False)
-    right = keyed_r.select(F.col(id_col_r), F.col(key_col)).where(
+    right = keyed_r.select(F.col(id_col_r), F.col(key_col), *carry_cols).where(
         F.col(key_col).isNotNull()
     ).localCheckpoint(eager=False)
 
@@ -384,6 +395,7 @@ def block_pairs_lr(
         F.explode(
             F.when(F.col("_salt_l"), F.array(_hashed(id_col_l))).otherwise(_grid)
         ).alias("_salt"),
+        *[F.col(c).alias("l_" + c) for c in carry_cols],
     )
     r_salted = right.join(kept, key_col).select(
         key_col,
@@ -391,8 +403,11 @@ def block_pairs_lr(
         F.explode(
             F.when(F.col("_salt_l"), _grid).otherwise(F.array(_hashed(id_col_r)))
         ).alias("_salt"),
+        *[F.col(c).alias("r_" + c) for c in carry_cols],
     )
     pairs = l_salted.join(r_salted, [key_col, "_salt"])
+    if pair_filter is not None:
+        pairs = pairs.where(pair_filter)
     if canonicalize:
         pairs = pairs.where(F.col(id_col_l) != F.col(id_col_r)).select(
             F.least(id_col_l, id_col_r).alias(id_col_l),

@@ -227,3 +227,33 @@ def test_lsh_band_keys_rebalance_flag(spark):
     ).coalesce(1)
     keys = lsh_band_keys(df, "id", "text", rebalance_input=False)
     assert keys.count() == 10 * 16  # one key per band per doc
+
+
+def test_block_pairs_lr_carry_cols_and_pair_filter(spark):
+    """LR form parity with the self-join: carried columns surface as
+    l_/r_ and the filter prunes inside the join stage (the linkage
+    similarity-join length filter)."""
+    from pyspark.sql import functions as F
+
+    from rlr_spark.operators.blocking import block_pairs_lr
+
+    left = spark.createDataFrame(
+        [("a1", "k", 10), ("a2", "k", 3)], "l_id string, blk_key string, n int"
+    )
+    right = spark.createDataFrame(
+        [("b1", "k", 9), ("b2", "k", 2)], "r_id string, blk_key string, n int"
+    )
+    pairs, _ = block_pairs_lr(
+        left,
+        right,
+        carry_cols=("n",),
+        # PPJoin-style length filter: |shorter| >= 0.8 * |longer|
+        pair_filter=(
+            F.least("l_n", "r_n") >= F.lit(0.8) * F.greatest("l_n", "r_n")
+        ),
+        max_block_size=None,
+    )
+    got = {(r.l_id, r.r_id) for r in pairs.collect()}
+    # (a1,b1): 9 >= 8 keep; (a2,b2): 2 >= 2.4 false drop;
+    # cross pairs (10,2),(3,9) fail the ratio
+    assert got == {("a1", "b1")}
