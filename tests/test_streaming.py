@@ -352,3 +352,55 @@ def test_streaming_state_bucket_pruning(spark, tmp_path):
     # full state (constant in the untouched buckets as state grows)
     scanned = pruned.select(F.input_file_name()).distinct().count()
     assert 0 < scanned < total_files, (scanned, total_files)
+
+
+def test_streaming_restart_with_retained_checkpoint(spark, tmp_path):
+    """Normal operational restart (checkpoint KEPT): a file arriving
+    after the restart is processed as a NEW batch; already-committed
+    batches are not reprocessed (their markers and partitions stay)."""
+    import glob
+    import os
+
+    from rlr_spark.streaming.ingest import incremental_neardup_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    src = str(tmp_path / "rst_src")
+    spark.createDataFrame(
+        [("u1", base)], "url string, text string"
+    ).selectExpr(
+        "url", "cast(null as timestamp) warc_ts", "cast(null as binary) html",
+        "text", "cast(null as string) lang",
+    ).coalesce(1).write.parquet(src + "/f0")
+
+    work = str(tmp_path / "rst_work")
+    q = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    markers_before = set(os.listdir(os.path.join(work, "_ckpt", "_applied")))
+    docs_files_before = set(glob.glob(os.path.join(work, "docs", "**", "*.parquet"),
+                                      recursive=True))
+
+    # the near-dup of u1 arrives while the query is DOWN
+    spark.createDataFrame(
+        [("u2", base.replace("kappa", "lambda"))], "url string, text string"
+    ).selectExpr(
+        "url", "cast(null as timestamp) warc_ts", "cast(null as binary) html",
+        "text", "cast(null as string) lang",
+    ).coalesce(1).write.parquet(src + "/f1")
+
+    q2 = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    pairs = spark.read.parquet(work + "/pairs")
+    assert {(r.l_id, r.r_id) for r in pairs.collect()} == {("u1", "u2")}
+    markers_after = set(os.listdir(os.path.join(work, "_ckpt", "_applied")))
+    # exactly one new batch applied; batch 0's files untouched
+    assert len(markers_after - markers_before) == 1
+    assert docs_files_before <= set(
+        glob.glob(os.path.join(work, "docs", "**", "*.parquet"), recursive=True)
+    )
