@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_prefix_join",
     "text_stats",
+    "text_unigram_lm",
     "emb_topk_cosine",
     "j1_pair_record_join",
 ]
