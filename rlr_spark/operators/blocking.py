@@ -121,6 +121,14 @@ def lsh_band_keys(
     # it is bands*rows hash+least ops and ZERO intermediate arrays,
     # versus bands*rows separate transform() arrays materialized per row
     # (measured 19.0s -> 6.2s for the 300k-page key job, same values).
+    #
+    # Measured dead end (round 4): replacing the per-permutation
+    # xxhash64 with Broder's LCG family ((a_j*h31+b_j) mod 2^31-1 — one
+    # hash + 48 multiply-adds) changed NOTHING (26.6s -> 27.5s for this
+    # job at 300k docs): the fold is bound by the 48-field struct
+    # accumulator copy per element and by tokenization, not by hash
+    # arithmetic, and pmod costs a division comparable to xxhash64.
+    # Keep the simpler xxhash construction.
     num_perm = bands * rows_per_band
     # a single-row-group input file is UNSPLITTABLE (one task no matter
     # how many byte splits get planned) and would serialize the whole
