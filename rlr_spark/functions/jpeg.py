@@ -12,10 +12,12 @@ library at all: every stage is spec arithmetic (ITU-T T.81):
   --YCbCr -> RGB (BT.601 full-range, JFIF Annex)--> pixels
 
 The encoder exists for test synthesis (decode(encode(x)) must land
-within quantization distance of x) and writes 4:4:4, quality-scaled
-Annex-K tables, standard Annex-K Huffman tables. The decoder handles
-4:4:4 and the common 4:2:0/4:2:2 subsampling, restart markers, and
-either table arrangement. Progressive (SOF2) and arithmetic coding
+within quantization distance of x) and writes 4:4:4 / 4:2:2 / 4:2:0,
+grayscale, restart intervals, quality-scaled Annex-K tables, standard
+Annex-K Huffman tables — every layout the decoder claims is driven
+with real bytes. The decoder handles 1- or 3-component baseline scans,
+the common subsamplings, restart markers, fill bytes, and either
+table arrangement. Progressive (SOF2) and arithmetic coding
 raise ``NotImplementedError`` explicitly.
 
 Decode runs inside Arrow-batched ``mapInPandas`` operators
@@ -296,37 +298,41 @@ def encode_jpeg(
     quality: int = 90,
     subsampling: str = "444",
     restart_interval: int = 0,
+    grayscale: bool = False,
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex-K Huffman
     tables, IJG quality scaling). Pure numpy; test synthesis and the
     inverse proof for :func:`decode_jpeg`.
 
-    ``subsampling``: ``"444"`` (one 8x8 MCU, chroma full-res) or
-    ``"420"`` (16x16 MCU: 4 Y blocks + 2x2-mean-downsampled Cb, Cr —
-    the web's dominant layout). ``restart_interval`` > 0 emits a DRI
-    segment and an RSTn marker every that-many MCUs (DC predictors
-    reset, bitstream byte-aligned) — exercising the decoder's restart
-    path with real bytes.
+    ``subsampling``: ``"444"`` (one 8x8 MCU, chroma full-res), ``"420"``
+    (16x16 MCU: 4 Y blocks + 2x2-mean-downsampled Cb, Cr — the web's
+    dominant layout), or ``"422"`` (16x8 MCU: 2 Y blocks + horizontally
+    halved chroma). ``restart_interval`` > 0 emits a DRI segment and an
+    RSTn marker every that-many MCUs (DC predictors reset, bitstream
+    byte-aligned). ``grayscale`` encodes a single luma component (the
+    decoder's 1-component path). Together these drive every sampling
+    layout the decoder claims, with real bytes.
     """
     a = np.ascontiguousarray(img.astype(np.uint8))
     if a.ndim == 2:
         a = np.repeat(a[:, :, None], 3, axis=2)
     h, w0 = a.shape[:2]
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
-    sh = sv = 2 if subsampling == "420" else 1
-    mcu = 8 * sh
+    samp = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
+    if subsampling not in samp:
+        raise ValueError("subsampling must be '444', '422', or '420'")
+    sh, sv = (1, 1) if grayscale else samp[subsampling]
+    mcu_w, mcu_h = 8 * sh, 8 * sv
     lq = _quality_scale(LUM_Q, quality)
     cq = _quality_scale(CHROM_Q, quality)
 
     ycc = _rgb_to_ycbcr(a)
-    ph, pw = -(-h // mcu) * mcu, -(-w0 // mcu) * mcu
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w0 // mcu_w) * mcu_w
     padded = np.pad(ycc, ((0, ph - h), (0, pw - w0), (0, 0)), mode="edge")
     y_plane = padded[..., 0]
-    if sh == 2:
-        # 2x2 mean chroma downsample — the standard decimation
-        cb = padded[..., 1].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr = padded[..., 2].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    if sh > 1 or sv > 1:
+        # sv x sh mean chroma downsample — the standard decimation
+        cb = padded[..., 1].reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+        cr = padded[..., 2].reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
     else:
         cb, cr = padded[..., 1], padded[..., 2]
 
@@ -340,8 +346,8 @@ def encode_jpeg(
     entropy = bytearray()
     mcu_count = 0
     rst = 0
-    for my in range(0, ph, mcu):
-        for mx in range(0, pw, mcu):
+    for my in range(0, ph, mcu_h):
+        for mx in range(0, pw, mcu_w):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 entropy += bw.flush()
                 bw = _BitWriter()
@@ -358,13 +364,14 @@ def encode_jpeg(
                         ],
                         lq, dc_l, ac_l, preds[0],
                     )
-            cy, cx = my // sv, mx // sh
-            preds[1] = _encode_block(
-                bw, cb[cy : cy + 8, cx : cx + 8], cq, dc_c, ac_c, preds[1]
-            )
-            preds[2] = _encode_block(
-                bw, cr[cy : cy + 8, cx : cx + 8], cq, dc_c, ac_c, preds[2]
-            )
+            if not grayscale:
+                cy, cx = my // sv, mx // sh
+                preds[1] = _encode_block(
+                    bw, cb[cy : cy + 8, cx : cx + 8], cq, dc_c, ac_c, preds[1]
+                )
+                preds[2] = _encode_block(
+                    bw, cr[cy : cy + 8, cx : cx + 8], cq, dc_c, ac_c, preds[2]
+                )
             mcu_count += 1
     entropy += bw.flush()
 
@@ -378,22 +385,32 @@ def encode_jpeg(
         return seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
 
     samp_y = (sh << 4) | sv
-    sof = seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w0, 3)
-        + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
-    )
-    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    if grayscale:
+        sof = seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w0, 1) + bytes([1, 0x11, 0]),
+        )
+        sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        tables = dqt(0, lq) + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS) + dht(
+            1, 0, AC_LUM_BITS, AC_LUM_VALS
+        )
+    else:
+        sof = seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w0, 3)
+            + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        tables = (
+            dqt(0, lq) + dqt(1, cq)
+            + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+            + dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+            + dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
+            + dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+        )
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
-    return (
-        b"\xff\xd8" + app0 + dqt(0, lq) + dqt(1, cq)
-        + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
-        + dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
-        + dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
-        + dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
-        + dri + sof + sos + bytes(entropy) + b"\xff\xd9"
-    )
+    return b"\xff\xd8" + app0 + tables + dri + sof + sos + bytes(entropy) + b"\xff\xd9"
 
 
 # --------------------------------------------------------------------------

@@ -312,3 +312,32 @@ def test_jpeg_fill_bytes_before_markers():
     i = payload.find(b"\xff\xdb")
     padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
     assert np.array_equal(decode_jpeg(padded), img)
+
+
+def test_jpeg_422_and_grayscale_roundtrip():
+    """The decoder's 4:2:2 and 1-component paths, driven with real
+    encoder bytes (every claimed sampling layout is now exercised)."""
+    import numpy as np
+
+    from rlr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((20, 28, 3), (180, 90, 45), dtype=np.uint8)
+    for sub in ("444", "422", "420"):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(flat, quality=90, subsampling=sub)), flat
+        ), sub
+
+    rng = np.random.default_rng(5)
+    grad = (
+        np.linspace(0, 255, 33 * 41 * 3).reshape(33, 41, 3)
+        + rng.normal(0, 6, (33, 41, 3))
+    ).clip(0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(grad, quality=95, subsampling="422", restart_interval=2))
+    err = np.abs(out.astype(int) - grad.astype(int))
+    assert err.mean() < 7 and err.max() < 48
+
+    grey = (np.arange(20 * 28, dtype=np.uint8).reshape(20, 28)) % 251
+    g = decode_jpeg(encode_jpeg(grey, quality=95, grayscale=True))
+    assert g.shape == (20, 28, 3)
+    assert (g[:, :, 0] == g[:, :, 1]).all() and (g[:, :, 1] == g[:, :, 2]).all()
+    assert np.abs(g[:, :, 0].astype(int) - grey.astype(int)).max() <= 8
