@@ -299,6 +299,7 @@ def encode_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     grayscale: bool = False,
+    sos_order: tuple[int, ...] = (1, 2, 3),
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> baseline JFIF bytes (Annex-K Huffman
     tables, IJG quality scaling). Pure numpy; test synthesis and the
@@ -312,7 +313,18 @@ def encode_jpeg(
     byte-aligned). ``grayscale`` encodes a single luma component (the
     decoder's 1-component path). Together these drive every sampling
     layout the decoder claims, with real bytes.
+
+    ``sos_order``: component interleaving order of the scan, as a
+    permutation of ``(1, 2, 3)`` (component ids Y, Cb, Cr). T.81 lets
+    the SOS list components in any order and the MCU data follows THAT
+    order — a non-identity value (4:4:4 color only) exercises the
+    decoder's SOS-order handling with bytes whose scan order genuinely
+    differs from SOF order.
     """
+    if tuple(sorted(sos_order)) != (1, 2, 3):
+        raise ValueError("sos_order must be a permutation of (1, 2, 3)")
+    if sos_order != (1, 2, 3) and (grayscale or subsampling != "444"):
+        raise ValueError("custom sos_order supported for 4:4:4 color only")
     a = np.ascontiguousarray(img.astype(np.uint8))
     if a.ndim == 2:
         a = np.repeat(a[:, :, None], 3, axis=2)
@@ -354,24 +366,25 @@ def encode_jpeg(
                 entropy += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 preds = [0, 0, 0]
-            for by in range(sv):  # Y blocks, raster order within the MCU
-                for bx in range(sh):
-                    preds[0] = _encode_block(
-                        bw,
-                        y_plane[
-                            my + by * 8 : my + by * 8 + 8,
-                            mx + bx * 8 : mx + bx * 8 + 8,
-                        ],
-                        lq, dc_l, ac_l, preds[0],
+            for comp_id in (1,) if grayscale else sos_order:
+                if comp_id == 1:
+                    for by in range(sv):  # Y blocks, raster order in the MCU
+                        for bx in range(sh):
+                            preds[0] = _encode_block(
+                                bw,
+                                y_plane[
+                                    my + by * 8 : my + by * 8 + 8,
+                                    mx + bx * 8 : mx + bx * 8 + 8,
+                                ],
+                                lq, dc_l, ac_l, preds[0],
+                            )
+                else:
+                    cy, cx = my // sv, mx // sh
+                    plane = cb if comp_id == 2 else cr
+                    preds[comp_id - 1] = _encode_block(
+                        bw, plane[cy : cy + 8, cx : cx + 8], cq, dc_c, ac_c,
+                        preds[comp_id - 1],
                     )
-            if not grayscale:
-                cy, cx = my // sv, mx // sh
-                preds[1] = _encode_block(
-                    bw, cb[cy : cy + 8, cx : cx + 8], cq, dc_c, ac_c, preds[1]
-                )
-                preds[2] = _encode_block(
-                    bw, cr[cy : cy + 8, cx : cx + 8], cq, dc_c, ac_c, preds[2]
-                )
             mcu_count += 1
     entropy += bw.flush()
 
@@ -400,7 +413,11 @@ def encode_jpeg(
             struct.pack(">BHHB", 8, h, w0, 3)
             + bytes([1, samp_y, 0, 2, 0x11, 1, 3, 0x11, 1]),
         )
-        sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        comp_tids = {1: 0x00, 2: 0x11, 3: 0x11}
+        sos_body = bytes([3]) + b"".join(
+            bytes([cid, comp_tids[cid]]) for cid in sos_order
+        ) + bytes([0, 63, 0])
+        sos = seg(0xFFDA, sos_body)
         tables = (
             dqt(0, lq) + dqt(1, cq)
             + dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
@@ -492,7 +509,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            sel = {}
+            if ns != len(frame["comps"]):
+                # legal per T.81 (non-interleaved multi-scan baseline) but
+                # out of scope — fail loudly, never decode wrong pixels
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG not supported"
+                )
+            sel = {}  # insertion-ordered: SOS component order
             for c in range(ns):
                 cid, tids = body[1 + 2 * c], body[2 + 2 * c]
                 sel[cid] = (tids >> 4, tids & 0xF)
@@ -505,6 +528,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def _decode_scan(payload, i, frame, sel, qtables, htables, restart_interval):
     comps = frame["comps"]
+    # MCU data is interleaved in SOS order, which T.81 allows to differ
+    # from SOF order — iterate the scan's order, not the frame's
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    try:
+        scan_order = [by_id[cid] for cid in sel]
+    except KeyError as e:
+        raise ValueError(f"SOS references unknown component {e}") from None
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-frame["w"] // (8 * hmax))
@@ -528,7 +558,8 @@ def _decode_scan(payload, i, frame, sel, qtables, htables, restart_interval):
                 ):
                     r.i += 2
                 preds = [0] * len(comps)
-            for ci, c in enumerate(comps):
+            for ci in scan_order:
+                c = comps[ci]
                 dc_t = htables.get((0, sel[c["id"]][0]))
                 ac_t = htables.get((1, sel[c["id"]][1]))
                 q = qtables[c["q"]]

@@ -308,6 +308,80 @@ def repetition_stats(
     )
 
 
+def substring_dedup_stats(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+):
+    """Cross-document repeated-substring statistics, per document.
+
+    Training pipelines remove ≥k-token substrings repeated ACROSS
+    documents (boilerplate paragraphs, license headers, navigation
+    chrome) — a span-level signal the document-level dedup family
+    (functions/dedup.py) cannot see: two otherwise-distinct pages
+    sharing one boilerplate paragraph are nowhere near each other in
+    whole-document Jaccard.
+
+    A *span* is a sliding window of ``k`` whitespace tokens (distinct
+    per doc). A span is *shared* when it occurs in at least
+    ``min_docs`` distinct documents. Returns per doc:
+
+    - ``n_spans`` — distinct k-token spans in the doc,
+    - ``n_shared_spans`` — of those, how many are shared,
+    - ``shared_span_frac`` — their ratio (0.0 for docs with < k tokens).
+
+    Scale shape (100 TB): span identities are 8-byte hashes of the
+    token-hash slice (never strings — blocking.py:60's trick), so the
+    whole computation is explode → groupBy(span) → same-key join →
+    groupBy(doc): three shuffles on evenly-distributed hash keys,
+    O(docs × tokens) total, no pairs anywhere. A 64-bit span collision
+    can only ADD a shared flag (recall-safe, like LSH keys).
+    """
+    toks = tokens(F.col(text_col))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    spans = F.when(
+        F.size(th) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(th) - (k - 1)),
+                lambda i: F.xxhash64(F.slice(th, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    per_doc_spans = df.select(F.col(id_col), F.explode(spans).alias("_w"))
+    # spans are distinct within a doc, so count(*) per span == the
+    # number of distinct docs containing it (no countDistinct shuffle)
+    doc_freq = per_doc_spans.groupBy("_w").agg(F.count("*").alias("_d"))
+    per_doc = (
+        per_doc_spans.join(doc_freq, "_w")  # same key as the groupBy
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("_d") >= min_docs).cast("long")).alias("n_shared_spans"),
+        )
+    )
+    n = F.coalesce(F.col("n_spans"), F.lit(0)).cast("long")
+    s = F.coalesce(F.col("n_shared_spans"), F.lit(0)).cast("long")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")  # docs with < k tokens: zeros
+        .select(
+            F.col(id_col),
+            n.alias("n_spans"),
+            s.alias("n_shared_spans"),
+            F.round(
+                F.when(n == 0, F.lit(0.0)).otherwise(
+                    s.cast("double") / n.cast("double")
+                ),
+                6,
+            ).alias("shared_span_frac"),
+        )
+    )
+
+
 def fingerprint_sql(col: str = "text") -> str:
     """The DuckDB-equivalent expression for :func:`fingerprint`."""
     return (

@@ -32,7 +32,7 @@ def read_schemas(df: DataFrame) -> list[set[str]]:
 
 
 def has_shuffle_lineage(df: DataFrame) -> bool:
-    """True when the plan contains a shuffle (Exchange node).
+    """True when the plan contains a SHUFFLE exchange (not broadcast).
 
     On such plans ``df.rdd`` / ``.getNumPartitions()`` finalizes the AQE
     plan and RUNS the upstream shuffle map stages, whose work then
@@ -40,8 +40,15 @@ def has_shuffle_lineage(df: DataFrame) -> bool:
     pipeline pre-write probe bug). Probe partition counts only when this
     returns False (scan-rooted or local plans, where ``.rdd`` is
     metadata-only). Stringifying the plan itself never runs a job.
+
+    ``BroadcastExchange`` is deliberately EXCLUDED: a broadcast-only
+    plan has no shuffle repartitioning, so a caller like
+    ``lsh_band_keys``'s auto-rebalance still wants to probe/fix its
+    partition count (``.rdd`` on such a plan does run the broadcast
+    job once, but its result is reused by the real action).
     """
-    return "Exchange" in physical_plan(df)
+    return re.search(r"(?<!Broadcast)Exchange|ShuffleQueryStage|AQEShuffleRead",
+                     physical_plan(df)) is not None
 
 
 def count_jobs(sc, fn):

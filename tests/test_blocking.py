@@ -257,3 +257,98 @@ def test_block_pairs_lr_carry_cols_and_pair_filter(spark):
     # (a1,b1): 9 >= 8 keep; (a2,b2): 2 >= 2.4 false drop;
     # cross pairs (10,2),(3,9) fail the ratio
     assert got == {("a1", "b1")}
+
+
+def test_arrow_signature_bit_identical_to_fold(spark):
+    """The numpy/Arrow minhash kernel must emit EXACTLY the fold path's
+    (id, blk_key) set — same hashes, not just same recall — across both
+    LSH configs in use (3-shingle b16r3, word-level b32r2) and the edge
+    rows (short docs, single token, empty text, NULL text, whitespace)."""
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("b", "the quick brown fox jumps over the lazy cat"),
+        ("c", "one two"),
+        ("d", "single"),
+        ("e", ""),
+        ("f", None),
+        ("g", "  leading and trailing   spaces  here   "),
+    ] + [
+        (f"x{i}", " ".join(f"tok{(i * 7 + t) % 50}" for t in range(40)))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    for k, b, r in [(3, 16, 3), (1, 32, 2)]:
+        fold = lsh_band_keys(
+            df, "id", "text", shingle_k=k, bands=b, rows_per_band=r,
+            rebalance_input=False, signature_impl="fold",
+        )
+        arrow = lsh_band_keys(
+            df, "id", "text", shingle_k=k, bands=b, rows_per_band=r,
+            rebalance_input=False, signature_impl="arrow",
+        )
+        sf = {(row.id, row.blk_key) for row in fold.collect()}
+        sa = {(row.id, row.blk_key) for row in arrow.collect()}
+        assert sf == sa, (k, b, r)
+
+
+def test_xxh64_np_matches_spark(spark):
+    """The numpy XXH64 primitives mirror catalyst bit-for-bit (the
+    property the whole Arrow kernel rests on)."""
+    import numpy as np
+
+    from rlr_spark.functions.xxh64_np import (
+        SPARK_SEED, hash_int, hash_long, xxhash64_longs,
+    )
+
+    vals = [0, 1, -1, 42, 2**62, -(2**62), 123456789123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    rows = df.select(
+        "v",
+        F.xxhash64("v").alias("h_long"),
+        F.xxhash64("v", F.lit(7)).alias("h_chain"),
+        F.xxhash64(F.array("v", F.col("v") + 1)).alias("h_arr"),
+    ).collect()
+    u = np.array(vals, dtype=np.int64).view(np.uint64)
+    h_long = hash_long(u, SPARK_SEED).view(np.int64)
+    h_chain = hash_int(7, hash_long(u, SPARK_SEED)).view(np.int64)
+    h_arr = hash_long(
+        (np.array(vals, dtype=np.int64) + 1).view(np.uint64),
+        hash_long(u, SPARK_SEED),
+    ).view(np.int64)
+    for i, row in enumerate(rows):
+        assert row.h_long == int(h_long[i])
+        assert row.h_chain == int(h_chain[i])
+        assert row.h_arr == int(h_arr[i])
+    assert xxhash64_longs([5, 6, 7]) == spark.range(1).select(
+        F.xxhash64(
+            F.lit(5).cast("long"), F.lit(6).cast("long"), F.lit(7).cast("long")
+        )
+    ).collect()[0][0]
+
+
+def test_block_pairs_lr_per_side_carry_cols(spark):
+    """L and R with DIFFERENT schemas: carry L's name_len, R's
+    company_len under their own names, filter on both inside the join."""
+    from rlr_spark.operators.blocking import block_pairs_lr
+
+    left = spark.createDataFrame(
+        [("a1", "k", 10), ("a2", "k", 3)],
+        "l_id string, blk_key string, name_len int",
+    )
+    right = spark.createDataFrame(
+        [("b1", "k", 9), ("b2", "k", 2)],
+        "r_id string, blk_key string, company_len int",
+    )
+    pairs, _ = block_pairs_lr(
+        left,
+        right,
+        carry_cols_l=("name_len",),
+        carry_cols_r=("company_len",),
+        pair_filter=(
+            F.least("l_name_len", "r_company_len")
+            >= F.lit(0.8) * F.greatest("l_name_len", "r_company_len")
+        ),
+        max_block_size=None,
+    )
+    got = {(r.l_id, r.r_id) for r in pairs.collect()}
+    assert got == {("a1", "b1")}

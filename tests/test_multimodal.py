@@ -341,3 +341,41 @@ def test_jpeg_422_and_grayscale_roundtrip():
     assert g.shape == (20, 28, 3)
     assert (g[:, :, 0] == g[:, :, 1]).all() and (g[:, :, 1] == g[:, :, 2]).all()
     assert np.abs(g[:, :, 0].astype(int) - grey.astype(int)).max() <= 8
+
+
+def test_jpeg_sos_order_differs_from_sof_order():
+    """T.81 allows the scan to interleave components in SOS order, which
+    may differ from SOF order — the decoder must follow the SOS list
+    (a shared-order round-trip can't catch this, so the encoder writes a
+    genuinely reordered scan). Non-interleaved multi-scan baseline
+    (ns != nc) must raise, never decode wrong pixels."""
+    import numpy as np
+    import pytest
+
+    from rlr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 24, 3), (90, 140, 200), dtype=np.uint8)
+    ident = decode_jpeg(encode_jpeg(flat, quality=90))
+    for order in [(3, 2, 1), (2, 1, 3)]:
+        out = decode_jpeg(encode_jpeg(flat, quality=90, sos_order=order))
+        assert np.array_equal(out, ident), order
+
+    grad = np.zeros((16, 16, 3), dtype=np.uint8)
+    grad[..., 0] = np.arange(16, dtype=np.uint8)[None, :] * 12
+    grad[..., 1] = np.arange(16, dtype=np.uint8)[:, None] * 9
+    grad[..., 2] = 77
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(grad, quality=95, sos_order=(3, 1, 2))),
+        decode_jpeg(encode_jpeg(grad, quality=95)),
+    )
+
+    # ns != nc: patch the SOS header of a valid file down to 1 component
+    payload = bytearray(encode_jpeg(flat, quality=90))
+    i = payload.find(bytes([0xFF, 0xDA]))
+    assert i > 0
+    # SOS body: [len16][ns][cid tids]*ns [ss se ah/al] — shrink to ns=1
+    payload[i + 2 : i + 4] = (8).to_bytes(2, "big")
+    payload[i + 4] = 1
+    del payload[i + 7 : i + 11]  # drop comps 2 and 3 entries
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(bytes(payload))
