@@ -631,6 +631,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf_dir, "documents")
         return repetition_stats(d, line_sep=r"\s+")
 
+    # -- substring-level cross-document dedup: ≥k-token spans repeated
+    # across documents (boilerplate the document-level dedup family
+    # cannot see). Spark hashes span identities; the oracle uses the
+    # span STRINGS — identical counts modulo 64-bit collisions (none
+    # at oracle scale), the same contract as the LSH oracles ----------
+    def text_substring_dedup(spark, sf_dir):
+        from rlr_spark.functions.text import substring_dedup_stats
+
+        d = _t(spark, sf_dir, "documents")
+        return substring_dedup_stats(d, k=8, min_docs=2)
+
     # -- streaming replay == batch equivalence: documents split into 3
     # deterministic files, replayed through the foreachBatch incremental
     # near-dup stream (1 file per micro-batch); the final pairs table
@@ -923,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packet_roundtrip": packet_roundtrip,
         "decontaminate": decontaminate,
         "text_repetition": text_repetition,
+        "text_substring_dedup": text_substring_dedup,
         "stream_neardup_replay": stream_neardup_replay,
         "emb_ann_ivf_trained": emb_ann_ivf_trained,
         "dedup_clusters": dedup_clusters,
@@ -1483,6 +1495,35 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN b.n_tok = 0 OR t2.top_cnt IS NULL THEN 0.0
                               ELSE 2.0 * t2.top_cnt::DOUBLE / b.n_tok::DOUBLE END, 6) AS top2gram_mass
             FROM base b LEFT JOIN top2 t2 USING (doc_id)
+        """,
+        "text_substring_dedup": r"""
+            -- same window construction as the Spark side (8-token
+            -- sliding spans over whitespace tokens, distinct per doc);
+            -- identity is the span string here vs its hash there
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+              FROM documents),
+            spans0 AS (
+              SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+                       THEN list_transform(range(1, len(t) - 6),
+                              i -> array_to_string(list_slice(t, i, i + 7), ' '))
+                       ELSE []::VARCHAR[] END) AS w
+              FROM toks),
+            spans AS (SELECT DISTINCT doc_id, w FROM spans0),
+            freq AS (SELECT w, count(*) AS d FROM spans GROUP BY w),
+            per AS (
+              SELECT s.doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN f.d >= 2 THEN 1 ELSE 0 END) AS n_shared
+              FROM spans s JOIN freq f USING (w) GROUP BY s.doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_spans, 0)::BIGINT AS n_spans,
+                   coalesce(p.n_shared, 0)::BIGINT AS n_shared_spans,
+                   round(CASE WHEN coalesce(p.n_spans, 0) = 0 THEN 0.0
+                              ELSE p.n_shared::DOUBLE / p.n_spans::DOUBLE
+                         END, 6) AS shared_span_frac
+            FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "stream_neardup_replay": _BRUTE_JAC_SQL,
         "dedup_clusters": f"""

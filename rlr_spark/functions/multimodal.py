@@ -336,9 +336,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from rlr_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from rlr_spark.functions.gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
         "image codec not available for this format (webp/avif/...); "
-        "P6 PPM, 8-bit PNG, and baseline JPEG decode natively"
+        "P6 PPM, 8-bit PNG, baseline JPEG, and GIF decode natively"
     )
 
 

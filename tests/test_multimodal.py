@@ -379,3 +379,73 @@ def test_jpeg_sos_order_differs_from_sof_order():
     del payload[i + 7 : i + 11]  # drop comps 2 and 3 entries
     with pytest.raises(NotImplementedError, match="non-interleaved"):
         decode_jpeg(bytes(payload))
+
+
+def test_gif_roundtrip_exact():
+    """GIF is palette-exact: encode->decode must reproduce every pixel,
+    across flat, structured, 256-color, interlaced, and dictionary-reset
+    (>4096 LZW entries) images."""
+    import numpy as np
+
+    from rlr_spark.functions.gif import decode_gif, encode_gif
+
+    flat = np.full((9, 13, 3), (10, 200, 30), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(flat)), flat)
+
+    # structured image with a few colors (real dictionary usage)
+    pat = np.zeros((32, 48, 3), dtype=np.uint8)
+    pat[::2, :, 0] = 255
+    pat[:, ::3, 1] = 128
+    pat[8:16, 8:40, 2] = 77
+    assert np.array_equal(decode_gif(encode_gif(pat)), pat)
+    assert np.array_equal(decode_gif(encode_gif(pat, interlace=True)), pat)
+
+    # 256 distinct colors + enough entropy to overflow the 4096-entry
+    # dictionary and force mid-stream clear codes
+    rng = np.random.RandomState(7)
+    noisy = rng.randint(0, 256, (64, 96), dtype=np.uint8)
+    noise = np.stack([noisy, noisy // 2, 255 - noisy], axis=-1).astype(np.uint8)
+    assert len(np.unique(noise.reshape(-1, 3), axis=0)) == 256
+    assert np.array_equal(decode_gif(encode_gif(noise)), noise)
+    # odd sizes exercise width bookkeeping on non-byte-aligned ends
+    odd = pat[:15, :17]
+    assert np.array_equal(decode_gif(encode_gif(odd)), odd)
+
+
+def test_gif_unsupported_and_invalid():
+    import numpy as np
+    import pytest
+
+    from rlr_spark.functions.gif import decode_gif, encode_gif
+
+    img = np.full((8, 8, 3), (1, 2, 3), dtype=np.uint8)
+    payload = encode_gif(img)
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF" + payload[6:])
+    with pytest.raises(ValueError):  # truncated mid-stream
+        decode_gif(payload[: len(payload) // 2])
+    # >256 colors: encoder refuses (no quantizer), loudly
+    rng = np.random.RandomState(3)
+    many = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    assert len(np.unique(many.reshape(-1, 3), axis=0)) > 256
+    with pytest.raises(ValueError, match="256"):
+        encode_gif(many)
+
+
+def test_image_stats_decodes_real_gif(spark):
+    import numpy as np
+
+    from rlr_spark.functions.gif import encode_gif
+    from rlr_spark.functions.multimodal import MEDIA_SCHEMA, decode_image, image_stats
+
+    img = np.zeros((10, 20, 3), dtype=np.uint8)
+    img[..., 0] = 200
+    img[..., 1] = 100
+    assert np.array_equal(decode_image(encode_gif(img)), img)
+    rows = [(1, "image", bytearray(encode_gif(img)), (20, 10, None, "image/gif"))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = image_stats(df).collect()[0]
+    assert got.decoded and (got.height, got.width) == (10, 20)
+    assert abs(got.mean_r - 200.0) < 1e-6
+    assert abs(got.mean_g - 100.0) < 1e-6
+    assert abs(got.mean_b - 0.0) < 1e-6

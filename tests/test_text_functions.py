@@ -137,3 +137,36 @@ def test_unigram_logprob(spark):
     exp2 = (math.log(3 / 5) + math.log(1 / 5)) / 2
     assert abs(got[1].avg_logprob - round(exp1, 6)) < 1e-9
     assert abs(got[2].avg_logprob - round(exp2, 6)) < 1e-9
+
+
+def test_substring_dedup_finds_planted_boilerplate(spark):
+    """Two otherwise-distinct docs share one boilerplate paragraph: the
+    shared ≥k-token span must flag in BOTH docs, unique docs stay clean,
+    and a doc shorter than k tokens reports zeros (not a dropped row)."""
+    from rlr_spark.functions.text import substring_dedup_stats
+
+    boiler = "all rights reserved contact us for licensing terms and conditions apply"
+    rows = [
+        (1, "completely original article about distributed query engines . " + boiler),
+        (2, boiler + " . totally different prose describing marine biology research"),
+        (3, "a unique document with no shared content whatsoever in any span here"),
+        (4, "short doc"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_dedup_stats(df, k=8).collect()}
+    assert len(out) == 5
+    # the 11-token boilerplate yields 4 shared 8-token spans in each host
+    assert out[1].n_shared_spans == 4 and out[2].n_shared_spans == 4
+    assert out[1].n_spans > out[1].n_shared_spans  # original content unshared
+    assert out[3].n_shared_spans == 0 and out[3].n_spans > 0
+    assert out[4].n_spans == 0 and out[4].shared_span_frac == 0.0
+    assert out[5].n_spans == 0 and out[5].n_shared_spans == 0
+    # repeated span INSIDE one doc only does not count as shared
+    solo = spark.createDataFrame(
+        [(1, " ".join(["alpha beta gamma delta eps zeta eta theta"] * 3)),
+         (2, "nothing in common with the first document at all in these words")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in substring_dedup_stats(solo, k=8).collect()}
+    assert got[1].n_shared_spans == 0
