@@ -678,6 +678,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             q.processAllAvailable()
         finally:
             q.stop()
+        # fold the per-batch state partitions before reading: the oracle
+        # thereby also certifies that compaction is content-preserving
+        from rlr_spark.streaming.ingest import compact_state
+
+        compact_state(spark, work)
         pairs = spark.read.parquet(os.path.join(work, "pairs"))
         lid = F.substring("l_id", 2, 30).cast("long")
         rid = F.substring("r_id", 2, 30).cast("long")

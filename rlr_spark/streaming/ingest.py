@@ -166,9 +166,11 @@ def incremental_neardup_stream(
     prunes to matching buckets instead of rescanning all accumulated
     state — per-batch IO is proportional to the buckets the batch
     touches, not to total state size. (The parquet directory listing
-    itself still grows with batch count; a production deployment backs
-    these tables with Iceberg, where the same partition spec makes the
-    listing metadata-cheap and compaction folds per-batch files.)
+    itself grows with batch count; :func:`compact_state` folds the
+    per-batch partitions into one consolidated partition per bucket at
+    epoch boundaries — and a production deployment backs these tables
+    with Iceberg, where the same partition spec makes the listing
+    metadata-cheap natively.)
 
     Delivery semantics: ``foreachBatch`` is AT-LEAST-ONCE on restart;
     three guards make the state EFFECTIVELY EXACTLY-ONCE: (a) every
@@ -361,3 +363,138 @@ def incremental_neardup_stream(
         .option("checkpointLocation", ckpt_dir)
         .start()
     )
+
+
+def compact_state(
+    spark: SparkSession,
+    work_dir: str,
+    tables: tuple[str, ...] = ("keys", "docs", "pairs"),
+) -> dict:
+    """Fold per-batch state partitions into one consolidated partition.
+
+    The stream's exactly-once discipline writes every batch into its own
+    ``_batch_id`` partition, so the parquet directory listing grows with
+    batch count (documented in :func:`incremental_neardup_stream`; at
+    production scale Iceberg makes the listing metadata-cheap). This is
+    the epoch-boundary answer for plain parquet: rewrite the fully
+    applied batch partitions — plus any previous consolidation — into a
+    single fresh consolidated partition per state bucket (one file per
+    bucket), then drop the sources. Logical content is untouched
+    (tested: the replay oracle stays hash-identical) and partition
+    PRUNING is untouched (the bucket column stays the outer partition
+    level; ``_batch_id`` was never pruned on).
+
+    Call between epochs, with the streaming query STOPPED — the
+    source-batch set must not move underneath the fold.
+
+    Crash safety mirrors the stream's write-then-marker discipline, per
+    table: (1) a ``pending`` marker (consolidation id + source ids) is
+    persisted BEFORE any data write; (2) the consolidated rows land as
+    a dynamic partition overwrite under a fresh negative ``_batch_id``
+    distinct from every live partition (a torn write can only produce
+    partitions that recovery deletes before the id could ever be
+    reused); (3) the marker flips atomically to ``done``;
+    (4) source partitions are deleted (idempotent); (5) the marker is
+    removed. Recovery on entry: a ``pending`` marker means the data
+    write may be torn — delete the consolidation-id partitions (sources
+    are intact) and start over; a ``done`` marker means the fold is
+    durable — finish deleting its sources. Batches whose applied marker
+    is missing (a torn final batch awaiting streaming replay) are NEVER
+    folded: the replay must overwrite its own ``_batch_id`` partition.
+
+    Returns per-table ``{"sources": n_folded, "cid": consolidated_id}``.
+    """
+    import json
+    import os
+    import shutil
+
+    applied_dir = os.path.join(work_dir, "_ckpt", "_applied")
+    compact_dir = os.path.join(work_dir, "_compact")
+    os.makedirs(compact_dir, exist_ok=True)
+    applied = (
+        {
+            int(f.split("_", 1)[1])
+            for f in os.listdir(applied_dir)
+            if f.startswith("batch_")
+        }
+        if os.path.isdir(applied_dir)
+        else set()
+    )
+
+    def _partition_dirs(path: str, batch_id: int) -> list[str]:
+        out = []
+        for root, dirs, _files in os.walk(path):
+            for d in dirs:
+                if d == f"_batch_id={batch_id}":
+                    out.append(os.path.join(root, d))
+        return out
+
+    def _present_ids(path: str) -> set[int]:
+        ids = set()
+        for _root, dirs, _files in os.walk(path):
+            for d in dirs:
+                if d.startswith("_batch_id="):
+                    ids.add(int(d.split("=", 1)[1]))
+        return ids
+
+    def _delete_partitions(path: str, ids: list[int]) -> None:
+        for b in ids:
+            for d in _partition_dirs(path, b):
+                shutil.rmtree(d, ignore_errors=True)
+
+    results: dict[str, dict] = {}
+    for t in tables:
+        path = os.path.join(work_dir, t)
+        if not os.path.isdir(path):
+            continue
+        marker = os.path.join(compact_dir, f"{t}.json")
+
+        # --- recovery of a previous crashed fold ------------------------
+        if os.path.exists(marker):
+            with open(marker) as f:
+                m = json.load(f)
+            if m["phase"] == "pending":
+                _delete_partitions(path, [m["cid"]])  # torn output
+            else:  # done: fold durable, finish dropping sources
+                _delete_partitions(path, m["sources"])
+            os.remove(marker)
+
+        present = _present_ids(path)
+        sources = sorted(
+            b for b in present if b < 0 or b in applied
+        )
+        if len(sources) < 2:
+            results[t] = {"sources": len(sources), "cid": None}
+            continue
+        cid = min([0, *[b for b in present if b < 0]]) - 1
+
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"phase": "pending", "cid": cid, "sources": sources}, f)
+        os.replace(tmp, marker)
+
+        df = spark.read.parquet(path).where(F.col("_batch_id").isin(sources))
+        bucket_cols = [c for c in ("_kb", "_ub") if c in df.columns]
+        out = df.drop("_batch_id").withColumn(
+            "_batch_id", F.lit(int(cid)).cast("int")
+        )
+        if bucket_cols:
+            # one shuffle keyed on the bucket column -> exactly one file
+            # per consolidated bucket directory
+            out = out.repartition(*[F.col(c) for c in bucket_cols])
+        else:
+            out = out.coalesce(1)
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*bucket_cols, "_batch_id")
+            .parquet(path)
+        )
+
+        with open(tmp, "w") as f:
+            json.dump({"phase": "done", "cid": cid, "sources": sources}, f)
+        os.replace(tmp, marker)
+        _delete_partitions(path, sources)
+        os.remove(marker)
+        results[t] = {"sources": len(sources), "cid": cid}
+    return results

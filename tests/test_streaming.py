@@ -404,3 +404,148 @@ def test_streaming_restart_with_retained_checkpoint(spark, tmp_path):
     assert docs_files_before <= set(
         glob.glob(os.path.join(work, "docs", "**", "*.parquet"), recursive=True)
     )
+
+
+def _nd_batch(spark, rows):
+    return spark.createDataFrame(rows, "url string, text string").selectExpr(
+        "url", "cast(null as timestamp) warc_ts", "cast(null as binary) html",
+        "text", "cast(null as string) lang",
+    )
+
+
+def test_streaming_state_compaction(spark, tmp_path):
+    """>=10 micro-batches, then compact_state: file/partition count is
+    bounded, logical content is identical, and a post-compaction epoch
+    still finds cross-epoch pairs (state probing intact)."""
+    import os
+
+    from rlr_spark.streaming.ingest import compact_state, incremental_neardup_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")
+    src = str(tmp_path / "cmp_src")
+    for i in range(11):
+        text = base if i == 0 else f"doc {i} " + " ".join(
+            f"w{i}{j}" for j in range(8)
+        )
+        _nd_batch(spark, [(f"u{i}", text)]).coalesce(1).write.parquet(f"{src}/f{i:02d}")
+    # one near-dup arriving in the last pre-compaction batch
+    _nd_batch(spark, [("u_near", near)]).coalesce(1).write.parquet(f"{src}/f11")
+
+    work = str(tmp_path / "cmp_work")
+    q = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def snapshot(table):
+        df = spark.read.parquet(f"{work}/{table}")
+        cols = [c for c in df.columns if not c.startswith("_")]
+        return sorted(map(tuple, df.select(*cols).collect()))
+
+    def batch_dirs(table):
+        return [
+            d for root, dirs, _ in os.walk(f"{work}/{table}")
+            for d in dirs if d.startswith("_batch_id=")
+        ]
+
+    def parquet_files(table):
+        return sum(
+            1 for root, _dirs, files in os.walk(f"{work}/{table}")
+            for f in files if f.endswith(".parquet")
+        )
+
+    before = {t: snapshot(t) for t in ("keys", "docs", "pairs")}
+    assert [p[:2] for p in before["pairs"]] == [("u0", "u_near")]
+    assert len(set(batch_dirs("docs"))) == 12  # one partition per batch
+
+    res = compact_state(spark, work)
+    assert res["docs"]["sources"] == 12 and res["docs"]["cid"] == -1
+    for t in ("keys", "docs", "pairs"):
+        assert snapshot(t) == before[t], t  # logical content untouched
+    for t in ("keys", "docs"):
+        assert set(batch_dirs(t)) == {"_batch_id=-1"}, t
+    # pairs: only batches that emitted pairs wrote partitions (one here),
+    # so there was nothing to fold yet — single partition either way
+    assert len(set(batch_dirs("pairs"))) == 1
+    # one file per touched bucket directory for the bucketed tables
+    n_doc_buckets = len(
+        {d for _r, dirs, _f in os.walk(f"{work}/docs") for d in dirs
+         if d.startswith("_ub=")}
+    )
+    assert parquet_files("docs") == n_doc_buckets
+
+    # idempotent second call: single consolidated partition -> no-op
+    res2 = compact_state(spark, work)
+    assert res2["docs"]["sources"] == 1 and res2["docs"]["cid"] is None
+
+    # --- post-compaction epoch: accumulated state must still probe -----
+    _nd_batch(
+        spark, [("u_post", base.replace("alpha", "omega"))]
+    ).coalesce(1).write.parquet(f"{src}/f12")
+    q2 = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {(r.l_id, r.r_id) for r in spark.read.parquet(f"{work}/pairs").collect()}
+    # u_post differs from u0 in one token (9/11 = 0.818 >= 0.8) but from
+    # u_near in two (8/12 = 0.667 < 0.8)
+    assert got == {("u0", "u_near"), ("u0", "u_post")}
+
+    # second compaction folds the consolidated partition + the new epoch
+    res3 = compact_state(spark, work)
+    assert res3["docs"]["cid"] == -2
+    assert res3["pairs"]["sources"] == 2  # batch-11 pairs + batch-12 pairs
+    assert parquet_files("pairs") == 1
+    assert {(r.l_id, r.r_id) for r in spark.read.parquet(f"{work}/pairs").collect()} == got
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A fold crashed mid-write (pending marker + torn output) must be
+    rolled back from the intact sources; one crashed after commit (done
+    marker) must finish dropping its sources — both on the next call."""
+    import json
+    import os
+    import shutil
+
+    from rlr_spark.streaming.ingest import compact_state, incremental_neardup_stream
+
+    src = str(tmp_path / "rec_src")
+    for i in range(4):
+        _nd_batch(spark, [(f"u{i}", f"doc {i} " + " ".join(f"w{i}{j}" for j in range(8)))]
+                  ).coalesce(1).write.parquet(f"{src}/f{i}")
+    work = str(tmp_path / "rec_work")
+    q = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    docs = spark.read.parquet(f"{work}/docs")
+    want = sorted(map(tuple, docs.select("url", "text").collect()))
+
+    # --- pending crash: torn consolidated output, sources intact -------
+    os.makedirs(f"{work}/_compact", exist_ok=True)
+    torn = docs.limit(2).drop("_batch_id").withColumn("_batch_id", F.lit(-1).cast("int"))
+    (torn.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+         .partitionBy("_ub", "_batch_id").parquet(f"{work}/docs"))
+    with open(f"{work}/_compact/docs.json", "w") as f:
+        json.dump({"phase": "pending", "cid": -1, "sources": [0, 1, 2, 3]}, f)
+    compact_state(spark, work, tables=("docs",))
+    after = spark.read.parquet(f"{work}/docs")
+    assert sorted(map(tuple, after.select("url", "text").collect())) == want
+    assert set(r._batch_id for r in after.select("_batch_id").distinct().collect()) == {-1}
+
+    # --- done crash: fold durable, sources not yet dropped -------------
+    # simulate: consolidated partition exists AND a stale source remains
+    stale = after.limit(1).drop("_batch_id").withColumn("_batch_id", F.lit(7).cast("int"))
+    (stale.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_ub", "_batch_id").parquet(f"{work}/docs"))
+    with open(f"{work}/_compact/docs.json", "w") as f:
+        json.dump({"phase": "done", "cid": -1, "sources": [7]}, f)
+    compact_state(spark, work, tables=("docs",))
+    after2 = spark.read.parquet(f"{work}/docs")
+    assert sorted(map(tuple, after2.select("url", "text").collect())) == want
+    shutil.rmtree(work)
