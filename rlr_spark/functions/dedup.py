@@ -150,7 +150,9 @@ def _verify_token_jaccard(
     )
     inter = F.size(F.array_intersect(F.col("_lt"), F.col("_rt"))).cast("double")
     union = (F.col("_ln") + F.col("_rn")).cast("double") - inter
-    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    # branch-free: the conditional form re-evaluates array_intersect per
+    # branch reference (similarity.py token_jaccard note; measured 2.1x)
+    jac = F.coalesce(F.try_divide(inter, union), F.lit(0.0))
     return (
         pairs.join(lh, "l_id")
         .join(rh, "r_id")
@@ -348,7 +350,7 @@ def ngram_jaccard(l: Column, r: Column, n: int = 3) -> Column:
     lg, rg = char_ngrams(l, n), char_ngrams(r, n)
     union = F.size(F.array_union(lg, rg)).cast("double")
     inter = F.size(F.array_intersect(lg, rg)).cast("double")
-    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+    return F.coalesce(F.try_divide(inter, union), F.lit(0.0))
 
 
 def ngram_dup_pairs(

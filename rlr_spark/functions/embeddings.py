@@ -26,8 +26,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    # branch-free: when/otherwise would re-evaluate the fold-based dot
+    # and norms per branch reference (similarity.py token_jaccard note)
     denom = norm(a) * norm(b)
-    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
+    return F.coalesce(F.try_divide(dot(a, b), denom), F.lit(0.0))
 
 
 def brute_force_topk(
