@@ -376,9 +376,24 @@ def block_pairs(
     # repeated standalone calls don't leak cached relations.
     keyed = keyed.localCheckpoint(eager=False)
 
-    # sizes feeds both the stats collect and the kept-keys join — same
-    # lazy-checkpoint treatment so its groupBy shuffle happens once
-    sizes = keyed.groupBy(key_col).agg(F.count("*").alias("_blk_n")).localCheckpoint(eager=False)
+    # sizes feeds the stats collect, the kept-keys join, AND the
+    # duplicate-block fingerprints — one groupBy shuffle for all three
+    # (lazy-checkpointed so it happens once). The fingerprint is an
+    # order-insensitive 128-bit member-set id: two independent bit_xor
+    # lanes over per-member hashes, plus the exact count.
+    sizes = keyed.groupBy(key_col).agg(
+        F.count("*").alias("_blk_n"),
+        F.bit_xor(F.xxhash64(F.col(id_col))).alias("_f1"),
+        F.bit_xor(F.xxhash64(F.col(id_col), F.lit(1))).alias("_f2"),
+        # xor cancels on duplicated (id, key) rows — a multiset {a,a,b}
+        # would xor to {b}'s lanes. The third lane is a SUM of 32-bit
+        # hash values (duplication-sensitive, overflow-free: 10^4 rows
+        # x 2^32 << 2^63), so duplicate-bearing blocks can't alias
+        # duplicate-free ones.
+        F.sum(
+            F.xxhash64(F.col(id_col), F.lit(2)).bitwiseAND(F.lit(0xFFFFFFFF))
+        ).alias("_f3"),
+    ).localCheckpoint(eager=False)
     if max_block_size is not None:
         kept_keys = sizes.where(F.col("_blk_n") <= max_block_size)
         agg = sizes.agg(
@@ -395,6 +410,20 @@ def block_pairs(
     else:
         kept_keys = sizes.where(F.col("_blk_n") >= 2)
         stats = BlockStats(pass_name, -1, 0, 0)
+    # COLLAPSE DUPLICATE BLOCKS: keys holding the identical member set
+    # generate the identical pair set, so only one representative needs
+    # to join. This is THE guard against template clusters under
+    # multi-band LSH — a T-doc boilerplate cluster colliding in all B
+    # bands otherwise pays B * T^2/2 joined rows for one pair set
+    # (measured: 5k docs / 32 bands -> 169M joined rows, 12.4M distinct
+    # pairs; collapse cuts the join output ~B-fold). A 128-bit
+    # fingerprint collision (~2^-128 per block pair) could merge two
+    # DIFFERENT blocks and silently drop pairs, hence two lanes — the
+    # same budget the uid128 mode allocates to id collisions.
+    rep = kept_keys.groupBy("_f1", "_f2", "_f3", "_blk_n").agg(
+        F.min(key_col).alias(key_col)
+    )
+    kept_keys = kept_keys.join(rep.select(key_col), key_col, "left_semi")
 
     keyed = keyed.join(
         kept_keys.select(key_col, "_blk_n"), key_col, "inner"
@@ -496,8 +525,20 @@ def block_pairs_lr(
         F.col(key_col).isNotNull()
     ).localCheckpoint(eager=False)
 
-    l_sizes = left.groupBy(key_col).agg(F.count("*").alias("_ln"))
-    r_sizes = right.groupBy(key_col).agg(F.count("*").alias("_rn"))
+    def _side_sizes(side: DataFrame, id_c: str, p: str) -> DataFrame:
+        # member-set fingerprint lanes per side — see block_pairs: two
+        # xor lanes + a duplication-sensitive 32-bit sum lane
+        return side.groupBy(key_col).agg(
+            F.count("*").alias(f"_{p}n"),
+            F.bit_xor(F.xxhash64(F.col(id_c))).alias(f"_{p}f1"),
+            F.bit_xor(F.xxhash64(F.col(id_c), F.lit(1))).alias(f"_{p}f2"),
+            F.sum(
+                F.xxhash64(F.col(id_c), F.lit(2)).bitwiseAND(F.lit(0xFFFFFFFF))
+            ).alias(f"_{p}f3"),
+        )
+
+    l_sizes = _side_sizes(left, id_col_l, "l")
+    r_sizes = _side_sizes(right, id_col_r, "r")
     sizes = l_sizes.join(r_sizes, key_col, "inner")  # keys present on both sides
     if max_block_size is not None:
         agg = sizes.agg(
@@ -522,6 +563,17 @@ def block_pairs_lr(
         stats = BlockStats(pass_name, -1, 0, 0)
         kept = sizes
 
+    # collapse duplicate blocks (see block_pairs): keys whose L AND R
+    # member sets are both identical generate the identical L x R pair
+    # set — one representative joins, the rest ride the final dedup out
+    rep = kept.groupBy(
+        "_lf1", "_lf2", "_lf3", "_ln", "_rf1", "_rf2", "_rf3", "_rn"
+    ).agg(F.min(key_col).alias(key_col))
+    # consumed by both salted sides below — materialize the (small)
+    # kept-keys relation once instead of re-running the size groupBys
+    kept = kept.join(rep.select(key_col), key_col, "left_semi").localCheckpoint(
+        eager=False
+    )
     kept = kept.withColumn(
         "_k",
         F.when(
