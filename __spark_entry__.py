@@ -870,6 +870,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return unigram_logprob(_t(spark, sf_dir, "documents"))
 
+    # -- interpolated bigram LM (backoff to the unigram MLE): token
+    # order matters, so vocabulary-plausible gibberish separates out ----
+    def text_bigram_lm(spark, sf_dir):
+        from rlr_spark.functions.text import bigram_logprob
+
+        return bigram_logprob(_t(spark, sf_dir, "documents"), lam=0.7)
+
     # -- deterministic stratified sampling: hash-gated keep per stratum
     # (reproducible train/dev splits; md5-based so the oracle mirrors
     # the gate bit-exactly — xxhash64 has no DuckDB counterpart) --------
@@ -966,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": corpus_filter,
         "vocab_stats": vocab_stats,
         "text_unigram_lm": text_unigram_lm,
+        "text_bigram_lm": text_bigram_lm,
         "sample_stratified": sample_stratified,
     }
 
@@ -1717,6 +1725,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(cnt::DOUBLE * ln(n_occ::DOUBLE / total.n))
                          / sum(cnt)::DOUBLE, 6) AS avg_logprob
             FROM dt JOIN occ USING (tok), total
+            GROUP BY doc_id
+        """,
+        "text_bigram_lm": """
+            WITH tl AS (
+              SELECT doc_id, string_split(trim(lower(text)), ' ') AS ts
+              FROM documents WHERE trim(lower(text)) <> ''),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS a,
+                     unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS b
+              FROM tl WHERE len(ts) >= 2),
+            dbt AS (
+              SELECT doc_id, a, b, count(*)::BIGINT AS cnt
+              FROM bg GROUP BY doc_id, a, b),
+            c2 AS (SELECT a, b, sum(cnt)::BIGINT AS c_ab FROM dbt GROUP BY a, b),
+            c1 AS (SELECT a, sum(c_ab)::BIGINT AS c_a FROM c2 GROUP BY a),
+            tok AS (SELECT doc_id, unnest(ts) AS tok FROM tl),
+            occ AS (SELECT tok AS b, count(*)::BIGINT AS n_occ FROM tok GROUP BY tok),
+            total AS (SELECT sum(n_occ)::DOUBLE AS n FROM occ)
+            SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+                   round(sum(cnt::DOUBLE * ln(
+                       0.7 * c_ab::DOUBLE / c_a::DOUBLE
+                       + 0.3 * n_occ::DOUBLE / total.n))
+                     / sum(cnt)::DOUBLE, 6) AS avg_logprob2
+            FROM dbt JOIN c2 USING (a, b) JOIN c1 USING (a)
+                 JOIN occ USING (b), total
             GROUP BY doc_id
         """,
         "sample_stratified": """

@@ -382,6 +382,80 @@ def substring_dedup_stats(
     )
 
 
+def bigram_logprob(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+):
+    """Per-document average bigram log-probability under an
+    interpolated corpus bigram model — the backoff upgrade of
+    :func:`unigram_logprob`: ``p(b|a) = lam * c(a,b)/c(a,·) +
+    (1-lam) * n_occ(b)/N``. Token order now matters, so shuffled
+    boilerplate and gibberish with corpus-typical vocabulary (which a
+    unigram LM scores identically to fluent text) separate out.
+
+    Returns (id, n_bigrams, avg_logprob2) over docs with >= 2 tokens,
+    ``avg_logprob2 = sum(cnt_ab * ln(p(b|a))) / n_bigrams`` over the
+    doc's distinct bigrams. The context count ``c(a,·)`` is derived
+    from the bigram relation itself (sum over b), so every scored
+    bigram has a strictly positive backbone probability and the
+    interpolation never needs an OOV branch.
+
+    Scale: one extra explode at 2-gram granularity over
+    :func:`unigram_logprob`'s shape — distinct (doc,a,b) pre-collapse
+    before the probability joins, all groupBys/joins on evenly-hashed
+    token keys, corpus totals as 1-row broadcasts. The bigram vocab is
+    larger than unigram (~10x at web scale) but the relation stays
+    O(corpus tokens) and AQE's skew split covers the Zipf head.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    d = df.where(t != "").select(F.col(id_col), F.split(t, r"\s+").alias("ts"))
+    bg = d.where(F.size("ts") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("ts"), i).alias("a"),
+                    F.element_at(F.col("ts"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.a").alias("a"), F.col("_bg.b").alias("b"))
+    # distinct (doc, a, b) with in-doc multiplicity — the join shuffle
+    # runs on the collapsed relation, not raw positions
+    dbt = bg.groupBy(id_col, "a", "b").agg(F.count("*").alias("cnt"))
+    dbt = dbt.localCheckpoint(eager=False)  # consumed by c2/c1 and the join
+    c2 = dbt.groupBy("a", "b").agg(F.sum("cnt").alias("c_ab"))
+    c1 = c2.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    # unigram backoff distribution over ALL tokens (incl. doc-final)
+    tok = d.select(F.col(id_col), F.explode("ts").alias("tok"))
+    occ = tok.groupBy("tok").agg(F.count("*").alias("n_occ"))
+    total = occ.agg(F.sum("n_occ").alias("N"))
+    p = (
+        F.lit(lam) * F.col("c_ab").cast("double") / F.col("c_a").cast("double")
+        + (F.lit(1.0) - F.lit(lam))
+        * F.col("n_occ").cast("double")
+        / F.col("N").cast("double")
+    )
+    return (
+        dbt.join(c2, ["a", "b"])
+        .join(c1, "a")
+        .join(occ.withColumnRenamed("tok", "b"), "b")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("cnt").cast("double") * F.log(p))
+                / F.sum("cnt").cast("double"),
+                6,
+            ).alias("avg_logprob2"),
+        )
+    )
+
+
 def fingerprint_sql(col: str = "text") -> str:
     """The DuckDB-equivalent expression for :func:`fingerprint`."""
     return (

@@ -139,6 +139,47 @@ def test_unigram_logprob(spark):
     assert abs(got[2].avg_logprob - round(exp2, 6)) < 1e-9
 
 
+def test_bigram_logprob(spark):
+    """Hand-computed interpolated bigram log-probs on corpus
+    'a b' + 'a b a' + 'solo': bigrams ab(x2), ba(x1); c(a,.)=2,
+    c(b,.)=1; the unigram backoff runs over ALL non-empty docs
+    (including the 1-token one): N=6, p(a)=3/6, p(b)=2/6.  With
+    lam=0.7: p(b|a)=0.7*2/2+0.3*2/6, p(a|b)=0.7*1/1+0.3*3/6."""
+    import math
+
+    from rlr_spark.functions.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b a"), (3, "solo"), (4, " ")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_logprob(df, lam=0.7).collect()}
+    assert set(got) == {1, 2}  # <2-token docs excluded
+    p_ba = 0.7 * 2 / 2 + 0.3 * 2 / 6  # p(b|a)
+    p_ab = 0.7 * 1 / 1 + 0.3 * 3 / 6  # p(a|b)
+    assert got[1].n_bigrams == 1
+    assert abs(got[1].avg_logprob2 - round(math.log(p_ba), 6)) < 1e-9
+    assert got[2].n_bigrams == 2
+    exp2 = (math.log(p_ba) + math.log(p_ab)) / 2
+    assert abs(got[2].avg_logprob2 - round(exp2, 6)) < 1e-9
+
+
+def test_bigram_logprob_separates_shuffled_text(spark):
+    """The motivating property: a doc whose tokens are corpus-typical
+    but order-scrambled scores LOWER under the bigram model than the
+    fluent original, while the unigram model cannot tell them apart."""
+    from rlr_spark.functions.text import bigram_logprob, unigram_logprob
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, fluent) for i in range(1, 9)]
+    rows.append((9, "dog the lazy jumps fox over brown the quick"))  # shuffled
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
+    bi = {r.doc_id: r.avg_logprob2 for r in bigram_logprob(df).collect()}
+    assert uni[9] == uni[1]  # unigram: identical token multiset
+    assert bi[9] < bi[1] - 0.5  # bigram: scrambled order clearly worse
+
+
 def test_substring_dedup_finds_planted_boilerplate(spark):
     """Two otherwise-distinct docs share one boilerplate paragraph: the
     shared ≥k-token span must flag in BOTH docs, unique docs stay clean,
