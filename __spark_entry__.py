@@ -552,6 +552,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
         )
 
+    # -- embedding-cosine near-dup pairs: hyperplane-LSH-bucketed
+    # candidates, exact cosine >= threshold (the semantic-dedup shape:
+    # same-bucket join only, never all-pairs) ---------------------------
+    def emb_neardup(spark, sf_dir):
+        from rlr_spark.functions.embeddings import embedding_dup_pairs
+
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        dim = len(e.select("embedding").first()[0])
+        # threshold sized to the synthetic table's cosine distribution
+        # (max pairwise sim ~0.49): 0.4 yields a real, non-vacuous result
+        return embedding_dup_pairs(e, dim=dim, threshold=0.4, n_planes=4).select(
+            "l_id", "r_id", F.round(F.col("cos_sim"), 4).alias("cos_sim")
+        )
+
     # -- two-dataset linkage: blocked L x R pairs + similarity (the
     # reference's primary workload shape: dataL vs dataR) ------------------
     def lr_linkage(spark, sf_dir):
@@ -890,6 +906,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rate = F.when(F.col("lang") == "en", F.lit(25)).otherwise(F.lit(75))
         return d.select("doc_id", "lang").where(gate < rate)
 
+    # -- sequence packing (concat-and-chunk): per-doc shard + token
+    # offsets + first/last training-sequence index, per-shard windows --
+    def pack_sequences(spark, sf_dir):
+        from rlr_spark.functions.packing import pack_offsets
+
+        return pack_offsets(
+            _t(spark, sf_dir, "documents"), ctx_len=512, n_shards=8
+        )
+
     # -- review-packet JSON round-trip (S6): save -> load -> live cursor ->
     # save -> reload; the returned row is the reloaded packet state ----------
     def packet_roundtrip(spark, sf_dir):
@@ -957,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_prefix_join": dedup_prefix_join,
         "dedup_simhash": dedup_simhash,
         "emb_ann_lsh": emb_ann_lsh,
+        "emb_neardup": emb_neardup,
         "emb_ann_ivf": emb_ann_ivf,
         "lr_linkage": lr_linkage,
         "em_weights": em_weights,
@@ -975,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unigram_lm": text_unigram_lm,
         "text_bigram_lm": text_bigram_lm,
         "sample_stratified": sample_stratified,
+        "pack_sequences": pack_sequences,
     }
 
 
@@ -1325,6 +1352,18 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, vec_id, cos_sim, rank::INTEGER AS rank
             FROM ranked WHERE rank <= 5
+        """,
+        "emb_neardup": f"""
+            -- same hyperplane bucketing as emb_ann_lsh; near-dup pairs =
+            -- same-bucket candidates with exact cosine >= 0.4
+            WITH b AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     ({_bucket}) AS bucket
+              FROM embeddings)
+            SELECT l.vec_id AS l_id, r.vec_id AS r_id,
+                   round(list_cosine_similarity(l.v, r.v), 4) AS cos_sim
+            FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            WHERE list_cosine_similarity(l.v, r.v) >= 0.4
         """,
         "emb_ann_ivf": """
             -- independent SQL reimplementation of the IVF probe with the
@@ -1752,6 +1791,24 @@ def oracle_sql() -> dict[str, str]:
             FROM dbt JOIN c2 USING (a, b) JOIN c1 USING (a)
                  JOIN occ USING (b), total
             GROUP BY doc_id
+        """,
+        "pack_sequences": """
+            WITH base AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+                     CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                          ELSE len(string_split(trim(text), ' ')) END::BIGINT AS n_tokens
+              FROM documents),
+            off AS (
+              SELECT doc_id, shard, n_tokens,
+                     coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_off
+              FROM base)
+            SELECT doc_id, shard, n_tokens, start_off,
+                   floor(start_off / 512.0)::BIGINT AS first_seq,
+                   greatest(floor(start_off / 512.0)::BIGINT,
+                            floor((start_off + n_tokens - 1) / 512.0)::BIGINT) AS last_seq
+            FROM off
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents

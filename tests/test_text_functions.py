@@ -211,3 +211,45 @@ def test_substring_dedup_finds_planted_boilerplate(spark):
     )
     got = {r.doc_id: r for r in substring_dedup_stats(solo, k=8).collect()}
     assert got[1].n_shared_spans == 0
+
+
+def test_pack_offsets_concat_and_chunk(spark):
+    """Single shard (n_shards=1): docs concatenate in id order; a doc
+    crossing the ctx_len boundary spans two sequences; an empty doc
+    consumes no stream space and keeps a well-formed (first==last) span."""
+    from rlr_spark.functions.packing import pack_offsets
+
+    rows = [
+        (1, "t " * 300),   # 300 tokens -> [0, 300): seq 0
+        (2, "t " * 300),   # [300, 600): crosses 512 -> seqs 0..1
+        (3, ""),           # empty at offset 600: seq 1..1, 0 tokens
+        (4, "t " * 100),   # [600, 700): seq 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pack_offsets(df, ctx_len=512, n_shards=1).collect()}
+    assert [got[i].start_off for i in (1, 2, 3, 4)] == [0, 300, 600, 600]
+    assert (got[1].first_seq, got[1].last_seq) == (0, 0)
+    assert (got[2].first_seq, got[2].last_seq) == (0, 1)  # boundary-spanning
+    assert (got[3].first_seq, got[3].last_seq) == (1, 1) and got[3].n_tokens == 0
+    assert (got[4].first_seq, got[4].last_seq) == (1, 1)
+    assert all(got[i].shard == 0 for i in (1, 2, 3, 4))
+
+
+def test_pack_offsets_sharding_is_deterministic(spark):
+    """Shards partition the corpus; within every shard offsets are a
+    gapless prefix-sum of token counts in id order."""
+    from rlr_spark.functions.packing import pack_offsets
+
+    rows = [(i, "w " * (i % 7 + 1)) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_offsets(df, ctx_len=16, n_shards=4).collect()
+    assert len(out) == 40 and {r.shard for r in out} <= set(range(4))
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for rs in by_shard.values():
+        rs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in rs:
+            assert r.start_off == off
+            off += r.n_tokens
