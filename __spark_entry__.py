@@ -854,6 +854,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (q_ok & rep_ok & lang_ok & pii_ok).alias("keep"),
         )
 
+    # -- link-graph PageRank: iterative checkpointed-frontier centrality
+    # over a deterministic md5-derived link graph (the crawl-side quality
+    # prior; same frontier machinery as the CC clustering stage) -----------
+    def graph_pagerank(spark, sf_dir):
+        from rlr_spark.functions.graph import pagerank, synthetic_link_edges
+
+        d = _t(spark, sf_dir, "documents")
+        nodes = d.select(F.col("doc_id").alias("node"))
+        edges = synthetic_link_edges(d, out_degree=4)
+        return pagerank(nodes, edges, out_degree=4, n_iter=10).select(
+            F.col("node").alias("doc_id"), "rank"
+        )
+
+    # -- BM25 top-k lexical retrieval: the keyword-probe counterpart of
+    # the embedding ANN family (corpus audits, contamination spot-checks) --
+    def bm25_topk(spark, sf_dir):
+        from rlr_spark.functions.retrieval import bm25_topk as _bm25
+
+        return _bm25(
+            _t(spark, sf_dir, "documents"),
+            query_terms=["spark", "hash", "window"],
+            topk=20,
+        )
+
+    # -- gap-based sessionization over the events stream: one shuffle on
+    # user_id, lag -> flag -> running sum (the canonical construction) ----
+    def events_sessionize(spark, sf_dir):
+        from rlr_spark.operators.temporal import sessionize
+
+        out = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+        return out.select(
+            "user_id",
+            "session_idx",
+            "n_events",
+            F.col("start_ts").cast("timestamp").cast("long").alias("start_es"),
+            F.col("end_ts").cast("timestamp").cast("long").alias("end_es"),
+            "duration_sec",
+        )
+
+    # -- as-of join: each non-error event picks up the most recent prior
+    # (or simultaneous) error's value for the same user — union-tag-window
+    # form, one shuffle over |L|+|R|, never a per-key range explosion ------
+    def events_asof(spark, sf_dir):
+        from rlr_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf_dir, "events")
+        left = ev.where(F.col("event_type") != "error")
+        right = ev.where(F.col("event_type") == "error")
+        out = asof_join(left, right, on="user_id", value_cols=("value",))
+        return out.select(
+            "user_id",
+            F.col("ts").cast("timestamp").cast("long").alias("es"),
+            "event_id",
+            # no-match NULLs -> sentinels: a nullable long column would
+            # arrive as NaN-float via Arrow/pandas on the Spark side but
+            # as None via fetchall on the DuckDB side — same values,
+            # different hash. Sentinels keep both columns non-null.
+            F.coalesce(F.round(F.col("r_value"), 4), F.lit(-1.0)).alias("r_value"),
+            F.coalesce(
+                F.col("r_ts").cast("timestamp").cast("long"), F.lit(-1)
+            ).alias("r_es"),
+        )
+
+    # -- sorted-neighborhood blocking (the third classic ER blocking
+    # family): sort by (n_chars, id) within each lang prefix, pair each
+    # row with its next-2 neighbors — prefix-partitioned, no global sort --
+    def snm_pairs(spark, sf_dir):
+        from rlr_spark.operators.blocking import sorted_neighborhood_pairs
+
+        return sorted_neighborhood_pairs(
+            _t(spark, sf_dir, "documents"),
+            id_col="doc_id",
+            sort_cols=("n_chars",),
+            prefix_col="lang",
+            window=2,
+        )
+
+    # -- exact per-group quantiles of document length (continuous
+    # interpolation — Spark percentile() == DuckDB quantile_cont) ---------
+    def length_quantiles(spark, sf_dir):
+        d = _t(spark, sf_dir, "documents")
+        qs = d.groupBy("lang").agg(
+            F.percentile(F.col("n_chars"), F.lit(0.25)).alias("_q25"),
+            F.percentile(F.col("n_chars"), F.lit(0.5)).alias("_q50"),
+            F.percentile(F.col("n_chars"), F.lit(0.75)).alias("_q75"),
+            F.percentile(F.col("n_chars"), F.lit(0.9)).alias("_q90"),
+        )
+        return qs.select(
+            "lang",
+            *[F.round(F.col(f"_q{p}"), 4).alias(f"q{p}") for p in (25, 50, 75, 90)],
+        )
+
     # -- corpus vocabulary stats: document frequency + IDF per token,
     # top-50 by df — the tokenizer/vocab table a corpus pipeline keeps --
     def vocab_stats(spark, sf_dir):
@@ -998,11 +1090,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii": text_pii,
         "corpus_filter": corpus_filter,
         "vocab_stats": vocab_stats,
+        "graph_pagerank": graph_pagerank,
+        "bm25_topk": bm25_topk,
+        "events_sessionize": events_sessionize,
+        "events_asof": events_asof,
+        "snm_pairs": snm_pairs,
+        "length_quantiles": length_quantiles,
         "text_unigram_lm": text_unigram_lm,
         "text_bigram_lm": text_bigram_lm,
         "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
     }
+
+
+def _pagerank_oracle() -> str:
+    from rlr_spark.functions.graph import pagerank_sql
+
+    # same parameterization as graph_pagerank above
+    return pagerank_sql(n_iter=10, damping=0.85, out_degree=4)
+
+
+def _bm25_oracle() -> str:
+    from rlr_spark.functions.retrieval import bm25_topk_sql
+
+    return bm25_topk_sql(["spark", "hash", "window"], topk=20)
+
+
+def _sessionize_oracle() -> str:
+    from rlr_spark.operators.temporal import sessionize_sql
+
+    inner = sessionize_sql(gap_minutes=30)
+    return f"""
+        SELECT user_id, session_idx::BIGINT AS session_idx,
+               n_events::BIGINT AS n_events,
+               floor(epoch(start_ts))::BIGINT AS start_es,
+               floor(epoch(end_ts))::BIGINT AS end_es,
+               duration_sec::BIGINT AS duration_sec
+        FROM ({inner})
+    """
+
+
+def _asof_oracle() -> str:
+    from rlr_spark.operators.temporal import asof_join_sql
+
+    inner = asof_join_sql(
+        "SELECT * FROM events WHERE event_type <> 'error'",
+        "SELECT * FROM events WHERE event_type = 'error'",
+        value_cols=("value",),
+    )
+    return f"""
+        SELECT user_id, floor(epoch(ts))::BIGINT AS es, event_id,
+               coalesce(round(r_value, 4), -1.0) AS r_value,
+               coalesce(floor(epoch(r_ts))::BIGINT, -1) AS r_es
+        FROM ({inner})
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1735,6 +1876,31 @@ def oracle_sql() -> dict[str, str]:
                    (b.q >= 0.45 AND m.dup_frac <= 0.6 AND m.t2mass <= 0.5
                     AND b.lg = 'en' AND NOT p.hp) AS keep
             FROM base b JOIN mass m USING (doc_id) JOIN pii p USING (doc_id)
+        """,
+        "graph_pagerank": _pagerank_oracle(),
+        "bm25_topk": _bm25_oracle(),
+        "events_sessionize": _sessionize_oracle(),
+        "events_asof": _asof_oracle(),
+        "snm_pairs": """
+            -- sorted-neighborhood: within each lang, order by (n_chars,
+            -- doc_id), pair each row with its next-1 and next-2 neighbors
+            WITH leads AS (
+              SELECT doc_id AS l_id,
+                     lead(doc_id, 1) OVER w AS n1,
+                     lead(doc_id, 2) OVER w AS n2
+              FROM documents
+              WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id))
+            SELECT l_id, n1 AS r_id, 1 AS nbr_dist FROM leads WHERE n1 IS NOT NULL
+            UNION ALL
+            SELECT l_id, n2 AS r_id, 2 AS nbr_dist FROM leads WHERE n2 IS NOT NULL
+        """,
+        "length_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.25), 4) AS q25,
+                   round(quantile_cont(n_chars, 0.5), 4) AS q50,
+                   round(quantile_cont(n_chars, 0.75), 4) AS q75,
+                   round(quantile_cont(n_chars, 0.9), 4) AS q90
+            FROM documents GROUP BY lang
         """,
         "vocab_stats": """
             WITH tok AS (

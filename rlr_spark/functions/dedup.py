@@ -63,6 +63,9 @@ def minhash_dup_pairs(
     jaccard_threshold: float = 0.8,
     salt_k: int = 4,
     max_block_size: int | None = 10_000,
+    length_filter: bool = True,
+    collapse_duplicate_blocks: bool = False,
+    verify_barrier: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs from LSH banding, verified by true token
     Jaccard ≥ threshold. Returns (l_id, r_id, jaccard).
@@ -90,23 +93,31 @@ def minhash_dup_pairs(
     # (measured: 5k docs -> 169M raw candidates, 12.4M distinct, 30k
     # true pairs; the filter cuts the dedup shuffle by the ratio of
     # size-compatible candidates).
-    sized = df.select(
-        F.col(id_col), F.size(norm_tokens(F.col(text_col))).alias("_n")
-    )
-    keyed = keys.join(sized, id_col)
+    if length_filter:
+        sized = df.select(
+            F.col(id_col), F.size(norm_tokens(F.col(text_col))).alias("_n")
+        )
+        keyed = keys.join(sized, id_col)
+        carry: tuple[str, ...] = ("_n",)
+        pfilter = (
+            F.least("l__n", "r__n").cast("double")
+            >= F.lit(jaccard_threshold) * F.greatest("l__n", "r__n").cast("double")
+        )
+    else:
+        keyed, carry, pfilter = keys, (), None
     pairs, _ = block_pairs(
         keyed,
         id_col,
         salt_k=salt_k,
         max_block_size=max_block_size,
         pass_name="minhash",
-        carry_cols=("_n",),
-        pair_filter=(
-            F.least("l__n", "r__n").cast("double")
-            >= F.lit(jaccard_threshold) * F.greatest("l__n", "r__n").cast("double")
-        ),
+        carry_cols=carry,
+        pair_filter=pfilter,
+        collapse_duplicate_blocks=collapse_duplicate_blocks,
     )
-    return _verify_token_jaccard(pairs, df, id_col, text_col, jaccard_threshold)
+    return _verify_token_jaccard(
+        pairs, df, id_col, text_col, jaccard_threshold, barrier=verify_barrier
+    )
 
 
 def neardup_clusters(
@@ -150,6 +161,7 @@ def _verify_token_jaccard(
     id_col: str,
     text_col: str,
     threshold: float,
+    barrier: bool = True,
 ) -> DataFrame:
     """Exact token-jaccard verification of candidate pairs, O(docs)
     tokenization: each doc is tokenized/hashed ONCE on the record side
@@ -188,8 +200,9 @@ def _verify_token_jaccard(
         pairs.join(lh, "l_id")
         .join(rh, "r_id")
         .select("l_id", "r_id", jac.alias("jaccard"))
-        .localCheckpoint(eager=False)
     )
+    if barrier:
+        scored = scored.localCheckpoint(eager=False)
     return scored.where(F.col("jaccard") >= threshold)
 
 

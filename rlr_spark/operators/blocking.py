@@ -345,6 +345,8 @@ def block_pairs(
     pass_name: str = "block",
     carry_cols: tuple[str, ...] = (),
     pair_filter: Column | None = None,
+    collapse_duplicate_blocks: bool = False,
+    collapse_min_size: int = 32,
 ) -> tuple[DataFrame, BlockStats]:
     """Canonical candidate pairs (l_id < r_id) within each blocking key.
 
@@ -420,10 +422,26 @@ def block_pairs(
     # fingerprint collision (~2^-128 per block pair) could merge two
     # DIFFERENT blocks and silently drop pairs, hence two lanes — the
     # same budget the uid128 mode allocates to id collisions.
-    rep = kept_keys.groupBy("_f1", "_f2", "_f3", "_blk_n").agg(
-        F.min(key_col).alias(key_col)
-    )
-    kept_keys = kept_keys.join(rep.select(key_col), key_col, "left_semi")
+    if collapse_duplicate_blocks:
+        # OPT-IN (measured off-by-default): on corpora whose big blocks
+        # are NEAR-duplicate clusters (differing member sets), the
+        # rep-groupBy + semi-join pays ~8s at sf0.1 and collapses
+        # nothing; the gated split below (~collapse_min_size) measured
+        # even worse (61s — the union breaks the single kept-keys join
+        # into a shape AQE won't broadcast). The scenario collapse
+        # guards — a T-doc EXACT-duplicate template cluster colliding
+        # identically in all B bands — is better handled by the
+        # standard composition: run exact dedup (dedup_exact) first,
+        # then minhash the survivors. Enable this only when exact dups
+        # must stay in the corpus through the LSH pass.
+        big = kept_keys.where(F.col("_blk_n") >= collapse_min_size)
+        rep = big.groupBy("_f1", "_f2", "_f3", "_blk_n").agg(
+            F.min(key_col).alias(key_col)
+        )
+        collapsed_big = big.join(rep.select(key_col), key_col, "left_semi")
+        kept_keys = kept_keys.where(
+            F.col("_blk_n") < collapse_min_size
+        ).unionByName(collapsed_big)
 
     keyed = keyed.join(
         kept_keys.select(key_col, "_blk_n"), key_col, "inner"
@@ -477,6 +495,7 @@ def block_pairs_lr(
     carry_cols_l: tuple[str, ...] | None = None,
     carry_cols_r: tuple[str, ...] | None = None,
     pair_filter: Column | None = None,
+    collapse_duplicate_blocks: bool = False,
 ) -> tuple[DataFrame, BlockStats]:
     """TWO-DATASET candidate pairs within blocking keys: L x R per key.
 
@@ -563,17 +582,18 @@ def block_pairs_lr(
         stats = BlockStats(pass_name, -1, 0, 0)
         kept = sizes
 
-    # collapse duplicate blocks (see block_pairs): keys whose L AND R
-    # member sets are both identical generate the identical L x R pair
-    # set — one representative joins, the rest ride the final dedup out
-    rep = kept.groupBy(
-        "_lf1", "_lf2", "_lf3", "_ln", "_rf1", "_rf2", "_rf3", "_rn"
-    ).agg(F.min(key_col).alias(key_col))
+    # collapse duplicate blocks (see block_pairs — same OPT-IN
+    # rationale: pays a rep-groupBy + semi-join over all kept keys and
+    # only ever collapses EXACT-duplicate member sets, which the
+    # standard exact-dedup pre-pass removes upstream)
+    if collapse_duplicate_blocks:
+        rep = kept.groupBy(
+            "_lf1", "_lf2", "_lf3", "_ln", "_rf1", "_rf2", "_rf3", "_rn"
+        ).agg(F.min(key_col).alias(key_col))
+        kept = kept.join(rep.select(key_col), key_col, "left_semi")
     # consumed by both salted sides below — materialize the (small)
     # kept-keys relation once instead of re-running the size groupBys
-    kept = kept.join(rep.select(key_col), key_col, "left_semi").localCheckpoint(
-        eager=False
-    )
+    kept = kept.localCheckpoint(eager=False)
     kept = kept.withColumn(
         "_k",
         F.when(
@@ -662,3 +682,60 @@ def candidate_pairs(
         keyed, id_col, salt_k=salt_k, max_block_size=max_block_size, pass_name="domain+lsh"
     )
     return pairs, [stats]
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_cols: tuple[str, ...],
+    prefix_col: str | Column,
+    window: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (the third classic ER blocking
+    method, next to key equality and LSH): sort records by a composite
+    key, pair each record with its next ``window`` neighbors.
+
+    The textbook method's global sort is one total ordering — an
+    anti-pattern at 10^12 rows. Here the corpus is first split by
+    ``prefix_col`` (a coarse leading component of the sort key: first
+    letter of a name, region code, language); the neighborhood window
+    then runs WITHIN each prefix partition via ``lead`` over
+    ``Window.partitionBy(prefix)``, i.e. a hash shuffle + per-partition
+    sort — never a global range exchange. Pairs whose members fall in
+    different prefix groups are (documentedly) not generated — the
+    standard multi-pass mitigation is a second call with a different
+    prefix/sort key, exactly like multi-pass blocking elsewhere in this
+    module.
+
+    Returns (l_id, r_id, nbr_dist) with ``nbr_dist`` in [1, window] —
+    the rank distance between the two rows in the sorted order.
+    Deterministic: ties in ``sort_cols`` order by ``id_col``.
+    """
+    from pyspark.sql import Window as W
+
+    pref = F.col(prefix_col) if isinstance(prefix_col, str) else prefix_col
+    base = df.select(F.col(id_col), pref.alias("_pref"), *[F.col(c) for c in sort_cols])
+    w = W.partitionBy("_pref").orderBy(*[F.col(c) for c in sort_cols], F.col(id_col))
+    leads = base.select(
+        F.col(id_col).alias("l_id"),
+        *[
+            F.lead(F.col(id_col), d).over(w).alias(f"_n{d}")
+            for d in range(1, window + 1)
+        ],
+    )
+    stacked = leads.select(
+        "l_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"_n{d}").alias("r_id"), F.lit(d).alias("nbr_dist")
+                    )
+                    for d in range(1, window + 1)
+                ]
+            )
+        ).alias("_p"),
+    )
+    return stacked.select(
+        "l_id", F.col("_p.r_id").alias("r_id"), F.col("_p.nbr_dist").alias("nbr_dist")
+    ).where(F.col("r_id").isNotNull())
