@@ -867,6 +867,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("node").alias("doc_id"), "rank"
         )
 
+    # -- per-node triangle counts on the same link graph: degree-ordered
+    # wedge join (each wedge enumerated once, at its min-degree corner) ---
+    def graph_triangles(spark, sf_dir):
+        from rlr_spark.functions.graph import synthetic_link_edges, triangle_counts
+
+        d = _t(spark, sf_dir, "documents")
+        return triangle_counts(synthetic_link_edges(d, out_degree=4)).select(
+            F.col("node").alias("doc_id"), "n_tri"
+        )
+
+    # -- deterministic weighted sample (Efraimidis-Spirakis): quality-
+    # weighted subset as a pure function of (ids, weights, k) -------------
+    def weighted_sample(spark, sf_dir):
+        from rlr_spark.functions.sampling import weighted_sample as _ws
+
+        return _ws(_t(spark, sf_dir, "documents"), k=100, weight=F.col("n_chars"))
+
     # -- BM25 top-k lexical retrieval: the keyword-probe counterpart of
     # the embedding ANN family (corpus audits, contamination spot-checks) --
     def bm25_topk(spark, sf_dir):
@@ -1091,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": corpus_filter,
         "vocab_stats": vocab_stats,
         "graph_pagerank": graph_pagerank,
+        "graph_triangles": graph_triangles,
+        "weighted_sample": weighted_sample,
         "bm25_topk": bm25_topk,
         "events_sessionize": events_sessionize,
         "events_asof": events_asof,
@@ -1114,6 +1133,26 @@ def _bm25_oracle() -> str:
     from rlr_spark.functions.retrieval import bm25_topk_sql
 
     return bm25_topk_sql(["spark", "hash", "window"], topk=20)
+
+
+def _triangles_oracle() -> str:
+    from rlr_spark.functions.graph import triangle_counts_sql
+
+    edges = """
+        SELECT doc_id AS src,
+               ('0x' || substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8))::BIGINT
+                 % (SELECT count(*) FROM documents) AS dst
+        FROM documents, range(4) t(j)
+    """
+    return (
+        f"SELECT node AS doc_id, n_tri FROM ({triangle_counts_sql(edges)})"
+    )
+
+
+def _weighted_sample_oracle() -> str:
+    from rlr_spark.functions.sampling import weighted_sample_sql
+
+    return weighted_sample_sql(k=100, weight_expr="n_chars")
 
 
 def _sessionize_oracle() -> str:
@@ -1879,6 +1918,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle(),
         "bm25_topk": _bm25_oracle(),
+        "graph_triangles": _triangles_oracle(),
+        "weighted_sample": _weighted_sample_oracle(),
         "events_sessionize": _sessionize_oracle(),
         "events_asof": _asof_oracle(),
         "snm_pairs": """

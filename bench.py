@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "dedup_prefix_join",
     "text_stats",
     "text_unigram_lm",
+    "graph_pagerank",
+    "bm25_topk",
     "emb_topk_cosine",
     "j1_pair_record_join",
 ]

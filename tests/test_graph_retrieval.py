@@ -114,3 +114,55 @@ def test_bm25_matches_hand_computation(spark):
     assert out[1] == pytest.approx(s(2, 4))
     assert out[3] == pytest.approx(s(1, 4))
     assert out[2] == pytest.approx(0.0)
+
+
+def test_triangle_counts_known_graph(spark):
+    from rlr_spark.functions.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5-1 + isolated
+    # edge 6-7; duplicate/reversed edges and a self-loop must be ignored
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (2, 1), (3, 3), (5, 1), (6, 7),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_tri for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0, 7: 0}
+
+
+def test_triangle_counts_star_has_none(spark):
+    """A star (hub + leaves) has wedges but zero triangles — the case
+    the degree-ordered orientation is designed to keep cheap."""
+    from pyspark.sql import functions as F
+
+    from rlr_spark.functions.graph import triangle_counts
+
+    df = spark.range(1, 9).select(F.lit(0).alias("src"), F.col("id").alias("dst"))
+    out = triangle_counts(df).collect()
+    assert all(r.n_tri == 0 for r in out) and len(out) == 9
+
+
+def test_weighted_sample_is_deterministic_and_weighted(spark):
+    from pyspark.sql import functions as F
+
+    from rlr_spark.functions.sampling import weighted_sample
+
+    rows = [(i, 1000.0 if i < 10 else 0.001) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out1 = weighted_sample(df, k=10, weight=F.col("w")).collect()
+    out2 = weighted_sample(df, k=10, weight=F.col("w")).collect()
+    assert [r.doc_id for r in out1] == [r.doc_id for r in out2]  # deterministic
+    # the ten heavy rows (1000.0 vs 0.001) dominate the sample
+    heavy = sum(1 for r in out1 if r.doc_id < 10)
+    assert heavy >= 9
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from pyspark.sql import functions as F
+
+    from rlr_spark.functions.sampling import weighted_sample
+
+    rows = [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    ids = {r.doc_id for r in weighted_sample(df, k=10, weight=F.col("w")).collect()}
+    assert ids == {1, 5}

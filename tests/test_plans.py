@@ -139,3 +139,60 @@ def test_lsh_band_keys_lazy_on_shuffled_input(spark, staged):
     assert jobs == 0, f"lsh_band_keys ran {jobs} pre-jobs on a shuffled input"
     # and the result is still correct when executed
     assert keys.count() > 0
+
+
+def test_sessionize_single_shuffle(spark):
+    """Sessionization = ONE hash exchange on user_id: the two windows
+    and the session aggregate all reuse the same partitioning."""
+    from rlr_spark.operators.temporal import sessionize
+
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 7, 0.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    plan = _plan(sessionize(df))
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1, plan
+
+
+def test_asof_join_is_window_not_range_join(spark):
+    """The as-of join must compile to union + window — never a
+    BroadcastNestedLoop/cartesian range join."""
+    from rlr_spark.operators.temporal import asof_join
+
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 7, 0.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    plan = _plan(asof_join(df, df))
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan and "Union" in plan
+
+
+def test_weighted_sample_is_takeordered(spark):
+    """Top-k must be TakeOrderedAndProject (per-partition heaps + k-row
+    driver merge) — never a global Sort."""
+    from rlr_spark.functions.sampling import weighted_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") + 1).cast("double").alias("w")
+    )
+    plan = _plan(weighted_sample(df, k=5, weight=F.col("w")))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_stats_broadcast_no_shuffle_on_corpus(spark):
+    """BM25's corpus statistics come back as a broadcast, and the
+    corpus side itself is never hash-exchanged (tf is per-row work)."""
+    from rlr_spark.functions.retrieval import bm25_topk
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    plan = _plan(bm25_topk(df, ["a", "b"], topk=5))
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
