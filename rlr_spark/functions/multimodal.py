@@ -7,7 +7,9 @@ run as Arrow-batched ``mapInPandas`` operators.
 Decode is REAL for the web's dominant image formats and uncompressed
 audio — binary P6 PPM and RIFF/PCM WAV parse with pure Python + numpy
 (header structs + ``np.frombuffer``), PNG decodes with stdlib ``zlib``
-(deflate) plus per-scanline un-filtering (None/Sub/Up/Average/Paeth),
+(deflate) plus per-scanline un-filtering (None/Sub/Up/Average/Paeth)
+across the full layout matrix (grey 1/2/4/8/16-bit, RGB/RGBA 8/16,
+palette 1/2/4/8, Adam7 interlacing), GIF decodes via pure-Python LZW,
 and baseline JFIF/JPEG decodes through a pure-numpy Huffman + IDCT
 pipeline (:mod:`rlr_spark.functions.jpeg`) — so ``image_stats`` /
 ``audio_stats`` / ``resize_nearest`` run end-to-end on real bytes.
@@ -148,31 +150,70 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_NONE, _PNG_SUB, _PNG_UP, _PNG_AVG, _PNG_PAETH = range(5)
 
 
-def encode_png(img: "np.ndarray", row_filters: list[int] | None = None) -> bytes:
-    """(h, w, 3|4) or (h, w) uint8 -> PNG bytes (test-data synthesis).
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (RFC 2083 §2, §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    ``row_filters`` picks the per-scanline filter type (default all 0 =
-    None) so tests can exercise every un-filter branch of
-    :func:`decode_png`. Stdlib-only: zlib deflate + crc32.
+
+def _png_passes(w: int, h: int, interlace: int):
+    """(x0, y0, dx, dy, pass_w, pass_h) sub-images of the raster.
+
+    Non-interlaced is the single identity pass; Adam7 yields up to 7,
+    skipping passes that are empty at this geometry (per spec such a
+    pass contributes NO scanline bytes at all, not zero-length rows).
     """
-    import struct
-    import zlib
+    if interlace == 0:
+        return [(0, 0, 1, 1, w, h)]
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
 
-    a = np.ascontiguousarray(img.astype(np.uint8))
-    if a.ndim == 2:
-        a = a[:, :, None]
+
+def _pack_scanline_bytes(a: "np.ndarray", depth: int) -> "np.ndarray":
+    """(h, w, ch) samples -> (h, row_bytes) uint8 raw scanline bytes.
+
+    depth 8: identity; depth 16: big-endian sample pairs; sub-byte
+    depths (channels must be 1): MSB-first bit packing, rows padded to
+    a byte boundary with zero bits — the exact PNG serialization.
+    """
     h, w, ch = a.shape
-    color_type = {1: 0, 3: 2, 4: 6}[ch]
-    bpp = ch
-    filters = row_filters if row_filters is not None else [0] * h
+    if depth == 8:
+        return np.ascontiguousarray(a.astype(np.uint8)).reshape(h, -1)
+    if depth == 16:
+        be = np.ascontiguousarray(a.astype(">u2"))
+        return be.view(np.uint8).reshape(h, -1)
+    bits = np.unpackbits(
+        a.astype(np.uint8)[:, :, 0, None], axis=2, count=8
+    )[:, :, 8 - depth :]
+    return np.packbits(bits.reshape(h, -1), axis=1)
+
+
+def _filter_scanlines(
+    rows: "np.ndarray", bpp: int, filters: list[int]
+) -> bytearray:
+    """Apply per-scanline PNG filters at BYTE level (filter distance =
+    ``bpp`` bytes, RFC 2083 §6) — the exact inverse of
+    :func:`_unfilter_scanlines`. ``rows``: (h, row_bytes) uint8."""
+    h, row_bytes = rows.shape
     raw = bytearray()
-    prev = np.zeros((w, ch), dtype=np.int16)
+    prev = np.zeros(row_bytes, dtype=np.int16)
     for y in range(h):
-        cur = a[y].astype(np.int16)
+        cur = rows[y].astype(np.int16)
         left = np.zeros_like(cur)
-        left[1:] = cur[:-1]
-        up_left = np.zeros_like(cur)
-        up_left[1:] = prev[:-1]
+        left[bpp:] = cur[:-bpp]
+        up_left = np.zeros_like(prev)
+        up_left[bpp:] = prev[:-bpp]
         f = filters[y]
         if f == _PNG_NONE:
             enc = cur
@@ -189,6 +230,64 @@ def encode_png(img: "np.ndarray", row_filters: list[int] | None = None) -> bytes
         raw.append(f)
         raw.extend((enc % 256).astype(np.uint8).tobytes())
         prev = cur
+    return raw
+
+
+def encode_png(
+    img: "np.ndarray",
+    row_filters: list[int] | None = None,
+    depth: int = 8,
+    interlace: bool = False,
+    palette: "np.ndarray | None" = None,
+) -> bytes:
+    """ndarray -> PNG bytes (test-data synthesis). Stdlib zlib + crc32.
+
+    Layouts (mirroring everything :func:`decode_png` claims, so every
+    decode path is driven with real bytes):
+
+    - default: (h, w, 3|4) or (h, w) uint8, ``depth=8``
+    - ``depth=16``: same shapes, uint16 samples, big-endian
+    - ``depth`` 1/2/4: greyscale (h, w) with values in [0, 2^depth)
+    - ``palette=(n, 3) uint8``: ``img`` is an (h, w) index raster,
+      color type 3, ``depth`` in {1, 2, 4, 8}
+    - ``interlace=True``: Adam7 — scanlines serialized per pass
+
+    ``row_filters`` picks per-scanline filter types; under Adam7 the
+    list is consumed across the concatenated pass scanlines (cycled),
+    so interlaced bytes exercise every un-filter branch too.
+    """
+    import struct
+    import zlib
+
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if palette is not None:
+        if ch != 1 or depth not in (1, 2, 4, 8):
+            raise ValueError("palette pngs are (h, w) indices, depth 1/2/4/8")
+        color_type = 3
+    elif depth in (1, 2, 4):
+        if ch != 1:
+            raise ValueError("sub-byte depth is greyscale-only")
+        color_type = 0
+    elif depth in (8, 16):
+        color_type = {1: 0, 3: 2, 4: 6}[ch]
+    else:
+        raise ValueError(f"bad depth {depth}")
+    bpp = max(1, ch * depth // 8)
+    raw = bytearray()
+    passes = _png_passes(w, h, 1 if interlace else 0)
+    scan = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        rows = _pack_scanline_bytes(a[y0::dy, x0::dx], depth)
+        filters = (
+            [row_filters[(scan + y) % len(row_filters)] for y in range(ph)]
+            if row_filters
+            else [0] * ph
+        )
+        raw.extend(_filter_scanlines(rows, bpp, filters))
+        scan += ph
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -198,10 +297,18 @@ def encode_png(img: "np.ndarray", row_filters: list[int] | None = None) -> bytes
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
+    plte = (
+        chunk(b"PLTE", np.ascontiguousarray(palette.astype(np.uint8)).tobytes())
+        if palette is not None
+        else b""
+    )
     return (
         PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -217,66 +324,28 @@ def _paeth_predict(
     )
 
 
-def decode_png(payload: bytes) -> "np.ndarray":
-    """PNG -> (h, w, 3) uint8, pure stdlib ``zlib`` + numpy.
+def _unfilter_scanlines(
+    raw: bytes, h: int, row_bytes: int, bpp: int
+) -> "np.ndarray":
+    """Filtered scanline bytes -> (h, row_bytes) uint8 reconstructed.
 
-    PNG is deflate-compressed scanlines behind per-row filters — no
-    codec *library* needed: IHDR parse, IDAT inflate, then un-filter
-    None/Sub/Up/Average/Paeth per scanline (RFC 2083 §6). Supports the
-    overwhelmingly common web case: 8-bit depth, greyscale/RGB/RGBA
-    (color types 0/2/6), non-interlaced. Palette, 16-bit, and Adam7
-    interlacing raise ``NotImplementedError``. Greyscale is replicated
-    to 3 channels and alpha is dropped, so every image lands in the
-    same (h, w, 3) shape the stats/resize operators consume. Chunk CRCs
-    are not verified (a corrupt payload fails parse anyway, and the
-    ``image_stats`` contract maps any failure to ``decoded=false``).
-
-    Sub and Up un-filters are vectorized (Sub is a per-byte-lane prefix
-    sum -> ``np.cumsum``; Up is a running row add); Average/Paeth are
-    inherently sequential in the left neighbour and run as a plain-int
-    Python scan per row — real encoders pick them for most photographic
-    rows, so this path is the common one and avoids per-pixel numpy
-    dispatch. For bulk production decode a codec library still wins;
-    this keeps the sandbox honest and correct.
+    Filters operate on BYTES with filter distance ``bpp`` bytes (RFC
+    2083 §6) regardless of bit depth, so this one helper serves every
+    depth/color-type/pass combination. Sub and Up are vectorized (Sub
+    is a per-lane prefix sum -> ``np.cumsum``; Up a running row add);
+    Average/Paeth are inherently sequential in the left neighbour and
+    run as a plain-int Python scan per row — real encoders pick them
+    for most photographic rows, so this path is the common one and
+    avoids per-pixel numpy dispatch (~20x slower, measured).
     """
-    import struct
-    import zlib
-
-    if not payload.startswith(PNG_SIG):
-        raise ValueError("not a PNG payload")
-    i = len(PNG_SIG)
-    ihdr = None
-    idat = bytearray()
-    while i + 8 <= len(payload):
-        (length,), tag = struct.unpack_from(">I", payload, i), payload[i + 4 : i + 8]
-        body = payload[i + 8 : i + 8 + length]
-        i += 12 + length  # len + tag + body + crc
-        if tag == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-    if ihdr is None or not idat:
-        raise ValueError("png missing IHDR/IDAT")
-    w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0:
-        raise NotImplementedError("only 8-bit depth, deflate, filter-0 PNG")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlacing not supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise NotImplementedError(f"palette color type {color_type} not supported")
-    bpp = channels
-    stride = 1 + w * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * stride:
+    if len(raw) != h * (1 + row_bytes):
         raise ValueError("png scanline data truncated")
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + row_bytes)
     filters = rows[:, 0]
-    data = rows[:, 1:].reshape(h, w, bpp).astype(np.int16)
-    out = np.zeros((h, w, bpp), dtype=np.int16)
-    prev = np.zeros((w, bpp), dtype=np.int16)
+    lanes = row_bytes // bpp  # row_bytes is a multiple of bpp by construction
+    data = rows[:, 1:].reshape(h, lanes, bpp).astype(np.int16)
+    out = np.zeros((h, lanes, bpp), dtype=np.int16)
+    prev = np.zeros((lanes, bpp), dtype=np.int16)
     for y in range(h):
         f, cur = int(filters[y]), data[y]
         if f == _PNG_NONE:
@@ -286,11 +355,7 @@ def decode_png(payload: bytes) -> "np.ndarray":
         elif f == _PNG_UP:
             rec = (cur + prev) % 256
         elif f in (_PNG_AVG, _PNG_PAETH):
-            # inherently sequential in the left neighbour; plain-int
-            # Python (no per-pixel numpy dispatch/temporaries — those
-            # were ~20x slower, and real encoders pick Average/Paeth for
-            # MOST photographic rows, not a rare few)
-            n = w * bpp
+            n = row_bytes
             cur_l = cur.reshape(-1).tolist()
             prev_l = prev.reshape(-1).tolist()
             rec_l = [0] * n
@@ -307,17 +372,113 @@ def decode_png(payload: bytes) -> "np.ndarray":
                     pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
                     pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
                     rec_l[x] = (cur_l[x] + pred) & 0xFF
-            rec = np.array(rec_l, dtype=np.int16).reshape(w, bpp)
+            rec = np.array(rec_l, dtype=np.int16).reshape(lanes, bpp)
         else:
             raise ValueError(f"bad png filter byte {f}")
         out[y] = rec
-        prev = rec.astype(np.int16)
-    img = out.astype(np.uint8)
+        prev = rec
+    return out.astype(np.uint8).reshape(h, row_bytes)
+
+
+def _unpack_samples(
+    rec: "np.ndarray", pw: int, channels: int, depth: int
+) -> "np.ndarray":
+    """(ph, row_bytes) reconstructed bytes -> (ph, pw, channels) uint8.
+
+    depth 16 keeps the high byte (the standard 8-bit projection —
+    identical to ``round(v * 255 / 65535)`` for all but ~0.4% of values,
+    each off by 1); sub-byte depths unpack MSB-first and are SCALED to
+    8-bit for greyscale by the caller (palette indices stay raw).
+    """
+    ph = rec.shape[0]
+    if depth == 8:
+        return rec[:, : pw * channels].reshape(ph, pw, channels)
+    if depth == 16:
+        return rec[:, : pw * channels * 2].reshape(ph, pw, channels, 2)[..., 0]
+    bits = np.unpackbits(rec, axis=1)[:, : pw * depth].reshape(ph, pw, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)[:, :, None]
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """PNG -> (h, w, 3) uint8, pure stdlib ``zlib`` + numpy.
+
+    PNG is deflate-compressed scanlines behind per-row filters — no
+    codec *library* needed: IHDR parse, IDAT inflate, un-filter
+    None/Sub/Up/Average/Paeth per scanline (RFC 2083 §6), sample
+    unpack. Covers the full web-common matrix: greyscale (depths
+    1/2/4/8/16), RGB/RGBA and grey+alpha (8/16), palette (PLTE, depths
+    1/2/4/8), and Adam7 interlacing (each pass is its own filtered
+    sub-image, deinterlaced by strided scatter). 16-bit samples project
+    to their high byte; sub-byte greys scale to 8-bit (255/85/17 per
+    level — exact); greyscale replicates to 3 channels and alpha is
+    dropped (tRNS ignored likewise), so every image lands in the same
+    (h, w, 3) shape the stats/resize operators consume. Chunk CRCs are
+    not verified (a corrupt payload fails parse anyway, and the
+    ``image_stats`` contract maps any failure to ``decoded=false``).
+    """
+    import struct
+    import zlib
+
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG payload")
+    i = len(PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    while i + 8 <= len(payload):
+        (length,), tag = struct.unpack_from(">I", payload, i), payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + length]
+        i += 12 + length  # len + tag + body + crc
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("png missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("bad compression/filter method")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad color type {color_type}")
+    legal_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(color_type, (8, 16))
+    if depth not in legal_depths:
+        raise ValueError(f"depth {depth} illegal for color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette png missing PLTE")
+    bpp = max(1, channels * depth // 8)
+    raw = zlib.decompress(bytes(idat))
+    out = np.zeros((h, w, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in _png_passes(w, h, interlace):
+        row_bytes = (pw * channels * depth + 7) // 8
+        nbytes = ph * (1 + row_bytes)
+        rec = _unfilter_scanlines(raw[pos : pos + nbytes], ph, row_bytes, bpp)
+        pos += nbytes
+        out[y0::dy, x0::dx] = _unpack_samples(rec, pw, channels, depth)
+    if pos != len(raw):
+        raise ValueError("png scanline data has trailing bytes")
+    if color_type == 3:
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
+    if depth < 8:  # greyscale sub-byte: scale levels to 8-bit (exact)
+        out = out * np.uint8(255 // ((1 << depth) - 1))
     if channels == 1:
-        return np.repeat(img, 3, axis=2)
+        return np.repeat(out, 3, axis=2)
     if channels == 2:  # grey + alpha: replicate grey, drop alpha
-        return np.repeat(img[:, :, :1], 3, axis=2)
-    return img[:, :, :3]  # RGB, or RGBA with alpha dropped
+        return np.repeat(out[:, :, :1], 3, axis=2)
+    return out[:, :, :3]  # RGB, or RGBA with alpha dropped
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
@@ -342,7 +503,8 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return decode_gif(payload)
     raise NotImplementedError(
         "image codec not available for this format (webp/avif/...); "
-        "P6 PPM, 8-bit PNG, baseline JPEG, and GIF decode natively"
+        "P6 PPM, PNG (all depths/color types incl. palette and Adam7), "
+        "baseline JPEG, and GIF decode natively"
     )
 
 

@@ -170,13 +170,33 @@ def test_png_unsupported_variants_raise():
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    # interlaced flag set -> explicit NotImplementedError, not garbage
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    interlaced = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
-        b"IDAT", zlib.compress(b"\x00" * 14)
+    # unknown interlace method / color type / illegal depth -> ValueError
+    for ihdr in (
+        struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2),  # interlace method 2
+        struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0),  # color type 5
+        struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0),  # depth 4 RGB illegal
+    ):
+        bad_hdr = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+            b"IDAT", zlib.compress(b"\x00" * 14)
+        ) + chunk(b"IEND", b"")
+        with _pytest.raises(ValueError):
+            decode_png(bad_hdr)
+
+    # palette png without PLTE -> ValueError
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    no_plte = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(b"\x00\x00\x00" * 2)
     ) + chunk(b"IEND", b"")
-    with _pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(interlaced)
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(no_plte)
+
+    # palette index past the PLTE end -> ValueError, not garbage pixels
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    oob = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+        b"PLTE", bytes((1, 2, 3))
+    ) + chunk(b"IDAT", zlib.compress(b"\x00\x07")) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="palette index"):
+        decode_png(oob)
 
     # truncated IDAT -> ValueError (caught by image_stats' contract)
     img = np.zeros((2, 2, 3), dtype=np.uint8)
@@ -184,6 +204,55 @@ def test_png_unsupported_variants_raise():
     bad = payload.replace(zlib.compress(b"\x00" * 14), zlib.compress(b"\x00" * 3))
     with _pytest.raises(ValueError):
         decode_png(bytes(bad))
+
+
+def test_png_palette_subbyte_16bit_adam7():
+    """The rest of the PNG matrix, every layout driven by real encoder
+    bytes: palette at depths 8/4/2/1, greyscale at 1/2/4 (scaled to
+    8-bit exactly), 16-bit grey/RGB/RGBA (high-byte projection), and
+    Adam7 interlacing for plain, palette, and 16-bit rasters — odd
+    geometries included so empty/partial passes are exercised."""
+    import numpy as np
+
+    from rlr_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+
+    # Adam7 RGB at geometries hitting empty passes (1x1) and partial ones
+    for shape in [(9, 10, 3), (1, 1, 3), (3, 2, 3), (16, 5, 3)]:
+        im = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        p = encode_png(im, interlace=True, row_filters=[0, 1, 2, 3, 4])
+        assert np.array_equal(decode_png(p), im), shape
+
+    # palette: every legal depth, sequential and interlaced
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    for d, n in [(8, 16), (4, 16), (2, 4), (1, 2)]:
+        idx = rng.integers(0, n, size=(7, 9), dtype=np.uint8)
+        p = encode_png(idx, palette=pal[:n], depth=d, row_filters=[0, 1, 2, 3, 4])
+        assert np.array_equal(decode_png(p), pal[:n][idx]), d
+        p2 = encode_png(idx, palette=pal[:n], depth=d, interlace=True)
+        assert np.array_equal(decode_png(p2), pal[:n][idx]), ("adam7", d)
+
+    # greyscale sub-byte depths scale exactly (255 / 85 / 17 per level)
+    for d in (1, 2, 4):
+        mx = (1 << d) - 1
+        g = rng.integers(0, mx + 1, size=(5, 11), dtype=np.uint8)
+        got = decode_png(encode_png(g, depth=d, row_filters=[0, 1, 2, 3, 4]))
+        exp = np.repeat((g * (255 // mx))[:, :, None], 3, axis=2)
+        assert np.array_equal(got, exp), d
+
+    # 16-bit: grey replicates, RGB passes through, RGBA drops alpha
+    for ch in (1, 3, 4):
+        shape = (4, 6) if ch == 1 else (4, 6, ch)
+        a16 = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+        hi = (a16 >> 8).astype(np.uint8)
+        exp = (
+            np.repeat(hi[:, :, None], 3, axis=2) if ch == 1 else hi[:, :, :3]
+        ) if ch != 3 else hi
+        got = decode_png(encode_png(a16, depth=16, row_filters=[0, 1, 2, 3, 4]))
+        assert np.array_equal(got, exp), ch
+        got_i = decode_png(encode_png(a16, depth=16, interlace=True))
+        assert np.array_equal(got_i, exp), ("adam7-16", ch)
 
 
 def test_image_stats_decodes_real_png(spark):
