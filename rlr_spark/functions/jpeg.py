@@ -15,10 +15,17 @@ The encoder exists for test synthesis (decode(encode(x)) must land
 within quantization distance of x) and writes 4:4:4 / 4:2:2 / 4:2:0,
 grayscale, restart intervals, quality-scaled Annex-K tables, standard
 Annex-K Huffman tables — every layout the decoder claims is driven
-with real bytes. The decoder handles 1- or 3-component baseline scans,
-the common subsamplings, restart markers, fill bytes, and either
-table arrangement. Progressive (SOF2) and arithmetic coding
-raise ``NotImplementedError`` explicitly.
+with real bytes. The decoder handles 1- or 3-component scans, the
+common subsamplings, restart markers, fill bytes, either table
+arrangement, non-interleaved multi-scan baseline files, AND
+progressive (SOF2) files — spectral selection, successive
+approximation, DC/AC refinement scans, EOB runs — via a unified
+coefficient-buffer architecture (every scan accumulates into
+per-component quantized-coefficient arrays; dequantize + IDCT run once
+at the end, vectorized). :func:`encode_jpeg_progressive` and
+:func:`encode_jpeg_multiscan_baseline` synthesize those layouts so the
+paths are driven with real bytes too. Arithmetic coding, lossless /
+hierarchical SOFs raise ``NotImplementedError`` explicitly.
 
 Decode runs inside Arrow-batched ``mapInPandas`` operators
 (multimodal.image_stats): per-payload Python is the right shape there —
@@ -431,15 +438,464 @@ def encode_jpeg(
 
 
 # --------------------------------------------------------------------------
-# Decoder
+# Progressive / multi-scan encoder (test synthesis)
+#
+# Shares the forward DCT + quantization with the baseline encoder but
+# computes ALL quantized coefficient blocks up front (vectorized), then
+# serializes any scan script over them: interleaved or non-interleaved
+# DC scans, spectral-selection AC scans, successive-approximation DC/AC
+# refinement scans with EOB runs, restart intervals. Huffman tables are
+# built flat (every emitted symbol at code length 9) — canonically
+# valid, compression-indifferent, and they keep the table side trivial;
+# the decoder exercises exactly the same table machinery either way.
+# --------------------------------------------------------------------------
+
+def _component_coefficients(img, quality, subsampling, grayscale):
+    """-> (h, w, comps_meta, [(bh, bw, 64) int32 zigzag coef arrays], quants).
+
+    Identical preprocessing to :func:`encode_jpeg` (YCbCr, edge-pad to
+    the MCU grid, mean chroma decimation), but the forward DCT +
+    quantization runs vectorized over every block at once and the
+    result is kept, because progressive scans revisit coefficients.
+    """
+    a = np.ascontiguousarray(img.astype(np.uint8))
+    if a.ndim == 2:
+        a = np.repeat(a[:, :, None], 3, axis=2)
+    h, w0 = a.shape[:2]
+    samp = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}
+    if subsampling not in samp:
+        raise ValueError("subsampling must be '444', '422', or '420'")
+    sh, sv = (1, 1) if grayscale else samp[subsampling]
+    mcu_w, mcu_h = 8 * sh, 8 * sv
+    lq = _quality_scale(LUM_Q, quality)
+    cq = _quality_scale(CHROM_Q, quality)
+    ycc = _rgb_to_ycbcr(a)
+    ph, pw = -(-h // mcu_h) * mcu_h, -(-w0 // mcu_w) * mcu_w
+    padded = np.pad(ycc, ((0, ph - h), (0, pw - w0), (0, 0)), mode="edge")
+    if grayscale:
+        planes = [(padded[..., 0], lq)]
+        comps = [{"id": 1, "h": 1, "v": 1, "q": 0}]
+    else:
+        if sh > 1 or sv > 1:
+            cb = padded[..., 1].reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+            cr = padded[..., 2].reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+        else:
+            cb, cr = padded[..., 1], padded[..., 2]
+        planes = [(padded[..., 0], lq), (cb, cq), (cr, cq)]
+        comps = [
+            {"id": 1, "h": sh, "v": sv, "q": 0},
+            {"id": 2, "h": 1, "v": 1, "q": 1},
+            {"id": 3, "h": 1, "v": 1, "q": 1},
+        ]
+    coefs = []
+    for plane, q in planes:
+        bh_, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = plane.reshape(bh_, 8, bw_, 8).transpose(0, 2, 1, 3) - 128.0
+        cf = np.einsum("ab,yxbc,cd->yxad", _T, blocks, _T.T)
+        quant = np.round(cf / q).astype(np.int32)
+        coefs.append(quant.reshape(bh_, bw_, 64)[..., ZIGZAG])
+    return h, w0, comps, coefs, (lq, cq)
+
+
+class _OpSink:
+    """Collects entropy ops per scan and the symbol sets per Huffman
+    table, so tables can be built after all scans are scripted."""
+
+    def __init__(self) -> None:
+        self.ops: list[tuple] = []
+        self.symbols: dict[tuple[int, int], set[int]] = {}
+
+    def sym(self, cls: int, tid: int, s: int) -> None:
+        self.symbols.setdefault((cls, tid), set()).add(s)
+        self.ops.append(("s", (cls, tid), s))
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.ops.append(("b", v, n))
+
+    def rst(self) -> None:
+        self.ops.append(("r",))
+
+
+def _flat_table(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """All symbols at canonical code length 9 — valid for any set of
+    <= 256 symbols (the all-ones code is never assigned)."""
+    vals = sorted(symbols)
+    bits = [0] * 16
+    bits[8] = len(vals)
+    return bits, vals
+
+
+def _blocks_of(frame_geom, comps, coefs, cis):
+    """Yield (restart_unit_index, ci, by, bx) in scan order: MCU
+    interleaving when the scan has several components, the component's
+    own unpadded block grid otherwise (T.81 scan geometry)."""
+    h, w0 = frame_geom
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(cis) > 1:
+        mcux = -(-w0 // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in cis:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            yield n, ci, my * c["v"] + by, mx * c["h"] + bx
+                n += 1
+    else:
+        ci = cis[0]
+        c = comps[ci]
+        cw = -(-w0 * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        n = 0
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield n, ci, by, bx
+                n += 1
+
+
+def _emit_dc_scan(sink, frame_geom, comps, coefs, cis, ah, al, ri):
+    preds = [0] * len(comps)
+    last_n = 0
+    for n, ci, by, bx in _blocks_of(frame_geom, comps, coefs, cis):
+        if ri and n != last_n and n % ri == 0:
+            sink.rst()
+            preds = [0] * len(comps)
+        last_n = n
+        dc = int(coefs[ci][by, bx, 0])
+        if ah == 0:
+            v = dc >> al  # arithmetic shift: DC point transform
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = abs(diff).bit_length()
+            sink.sym(0, 0 if comps[ci]["q"] == 0 else 1, s)
+            sink.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        else:  # refinement: one raw bit (bit Al of the DC value)
+            sink.bits((dc >> al) & 1, 1)
+
+
+def _emit_ac_scan(sink, frame_geom, comps, coefs, ci, ss, se, ah, al, ri):
+    tid = 0 if comps[ci]["q"] == 0 else 1
+    eob = 0
+    pend: list[int] = []
+
+    def flush_eob():
+        nonlocal eob, pend
+        if eob:
+            rr = eob.bit_length() - 1
+            sink.sym(1, tid, rr << 4)
+            sink.bits(eob - (1 << rr), rr)
+            eob = 0
+        for b in pend:
+            sink.bits(b, 1)
+        pend = []
+
+    last_n = 0
+    for n, ci_, by, bx in _blocks_of(frame_geom, comps, coefs, (ci,)):
+        if ri and n != last_n and n % ri == 0:
+            flush_eob()
+            sink.rst()
+        last_n = n
+        blk = coefs[ci_][by, bx]
+        if ah == 0:  # first scan at this Al: (run, size) + EOB runs
+            vals = []
+            for k in range(ss, se + 1):
+                t = int(blk[k])
+                m = abs(t) >> al  # AC point transform truncates toward 0
+                vals.append(m if t > 0 else -m)
+            if not any(vals):
+                eob += 1
+                if eob == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(j for j, v in enumerate(vals) if v)
+            for j, v in enumerate(vals):
+                if j > last_nz:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    sink.sym(1, tid, 0xF0)  # ZRL
+                    run -= 16
+                s = abs(v).bit_length()
+                sink.sym(1, tid, (run << 4) | s)
+                sink.bits(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < se - ss:
+                eob = 1
+        else:  # refinement scan (G.1.2.3 encoder side)
+            mags = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            signs = [int(blk[k]) > 0 for k in range(ss, se + 1)]
+            newly = [j for j, m in enumerate(mags) if m == 1]
+            if not newly:
+                # whole block absorbed into the EOB run; its history
+                # correction bits queue up behind the eventual EOBn
+                eob += 1
+                pend.extend(m & 1 for m in mags if m >= 2)
+                if eob == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            # events since the last emitted symbol, in positional order:
+            # ("z",) zero-history position / ("h", bit) history correction.
+            # A symbol's coverage mirrors the decoder's walk exactly —
+            # ZRL consumes the first 16 zero-history events plus the
+            # history bits interleaved before its 16th zero; a (run, 1)
+            # symbol consumes the remainder up to the newly position.
+            ev: list[tuple] = []
+            for j, m in enumerate(mags):
+                if m >= 2:
+                    ev.append(("h", m & 1))
+                elif m == 0:
+                    ev.append(("z",))
+                else:  # newly significant at this level
+                    while sum(1 for e in ev if e[0] == "z") >= 16:
+                        sink.sym(1, tid, 0xF0)  # ZRL
+                        zseen = 0
+                        cut = 0
+                        for idx, e in enumerate(ev):
+                            if e[0] == "z":
+                                zseen += 1
+                                if zseen == 16:
+                                    cut = idx + 1
+                                    break
+                            else:
+                                sink.bits(e[1], 1)
+                        ev = ev[cut:]
+                    run = sum(1 for e in ev if e[0] == "z")
+                    sink.sym(1, tid, (run << 4) | 1)
+                    sink.bits(1 if signs[j] else 0, 1)
+                    for e in ev:
+                        if e[0] == "h":
+                            sink.bits(e[1], 1)
+                    ev = []
+            if ev:  # trailing positions after the last newly: EOB covers
+                eob = 1
+                pend = [e[1] for e in ev if e[0] == "h"]
+    flush_eob()
+
+
+def _serialize_ops(ops, codes) -> bytes:
+    bw = _BitWriter()
+    out = bytearray()
+    rst = 0
+    for op in ops:
+        if op[0] == "s":
+            code, length = codes[op[1]][op[2]]
+            bw.write(code, length)
+        elif op[0] == "b":
+            bw.write(op[1], op[2])
+        else:  # restart: byte-align with 1-fill, emit RSTn
+            out += bw.flush()
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+    out += bw.flush()
+    return bytes(out)
+
+
+#: default progressive scan script (component-index, Ss, Se, Ah, Al) —
+#: the classic shape: coarse DC, luma AC bands, chroma AC, then
+#: successive-approximation refinements down to full precision
+_PROG_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((2,), 1, 63, 0, 1),
+    ((1,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+_PROG_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    grayscale: bool = False,
+    restart_interval: int = 0,
+    scans: tuple | None = None,
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> progressive (SOF2) JFIF bytes.
+
+    ``scans`` is a script of ``(component_indices, Ss, Se, Ah, Al)``
+    tuples; the default is the classic coarse-to-fine script (DC at
+    Al=1, luma AC in two spectral bands at Al=2, chroma AC at Al=1,
+    then refinement scans down to Al=0 — exercising DC refinement, AC
+    refinement, EOB runs, and spectral selection). A script with only
+    Ah=Al=0 scans produces a spectral-selection-only file. The
+    reconstruction is IDENTICAL to :func:`encode_jpeg` at the same
+    quality/subsampling — the quantized coefficients are the same,
+    only the entropy serialization differs (tested).
+    """
+    h, w0, comps, coefs, (lq, cq) = _component_coefficients(
+        img, quality, subsampling, grayscale
+    )
+    if scans is None:
+        scans = _PROG_SCRIPT_GRAY if grayscale else _PROG_SCRIPT_COLOR
+    sinks = []
+    for cis, ss, se, ah, al in scans:
+        if ss > 0 and len(cis) != 1:
+            raise ValueError("AC scans must be single-component")
+        sink = _OpSink()
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+            _emit_dc_scan(sink, (h, w0), comps, coefs, cis, ah, al, restart_interval)
+        else:
+            _emit_ac_scan(
+                sink, (h, w0), comps, coefs, cis[0], ss, se, ah, al, restart_interval
+            )
+        sinks.append(sink)
+    return _write_multiscan(
+        h, w0, comps, coefs, (lq, cq), scans, sinks, restart_interval, sof=0xFFC2
+    )
+
+
+def encode_jpeg_multiscan_baseline(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    grayscale: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Non-interleaved multi-scan BASELINE file: SOF0 with one full
+    (DC+AC) scan per component over its own unpadded block grid — the
+    T.81-legal layout some encoders emit for 3-component images, here
+    synthesized so the decoder's non-interleaved path runs on real
+    bytes. Reconstruction is identical to :func:`encode_jpeg` at the
+    same parameters (tested)."""
+    h, w0, comps, coefs, (lq, cq) = _component_coefficients(
+        img, quality, subsampling, grayscale
+    )
+    sinks = []
+    scans = []
+    for ci in range(len(comps)):
+        sink = _OpSink()
+        tid = 0 if comps[ci]["q"] == 0 else 1
+        # full-block scan = DC diffs + sequential AC over the
+        # component's own geometry; expressed as a DC emit interleaved
+        # with an AC emit per block (can't reuse the scan emitters
+        # directly because baseline blocks carry both in one pass)
+        preds = 0
+        last_n = 0
+        for n, ci_, by, bx in _blocks_of((h, w0), comps, coefs, (ci,)):
+            if restart_interval and n != last_n and n % restart_interval == 0:
+                sink.rst()
+                preds = 0
+            last_n = n
+            blk = coefs[ci_][by, bx]
+            dc = int(blk[0])
+            diff = dc - preds
+            preds = dc
+            s = abs(diff).bit_length()
+            sink.sym(0, tid, s)
+            sink.bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            nz = [k for k in range(1, 64) if blk[k]]
+            for k in range(1, (nz[-1] + 1) if nz else 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    sink.sym(1, tid, 0xF0)
+                    run -= 16
+                s = abs(v).bit_length()
+                sink.sym(1, tid, (run << 4) | s)
+                sink.bits(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if not nz or nz[-1] < 63:
+                sink.sym(1, tid, 0x00)  # EOB
+        sinks.append(sink)
+        scans.append(((ci,), 0, 63, 0, 0))
+    return _write_multiscan(
+        h, w0, comps, coefs, (lq, cq), scans, sinks, restart_interval, sof=0xFFC0
+    )
+
+
+def _write_multiscan(h, w0, comps, coefs, quants, scans, sinks, ri, sof):
+    """Assemble the file: tables (flat Huffman from the collected
+    symbol sets), SOF, then each scan's SOS header + entropy bytes."""
+    lq, cq = quants
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xFFDB, bytes([tid]) + bytes(int(x) for x in q.reshape(-1)[ZIGZAG]))
+
+    # union symbol sets across scans per (class, tid); build flat tables
+    all_syms: dict[tuple[int, int], set[int]] = {}
+    for sink in sinks:
+        for key, syms in sink.symbols.items():
+            all_syms.setdefault(key, set()).update(syms)
+    codes = {}
+    dhts = b""
+    for (cls, tid), syms in sorted(all_syms.items()):
+        bits, vals = _flat_table(syms)
+        codes[(cls, tid)] = _canonical_codes(bits, vals)
+        dhts += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+
+    gray = len(comps) == 1
+    sof_body = struct.pack(">BHHB", 8, h, w0, len(comps))
+    for c in comps:
+        sof_body += bytes([c["id"], (c["h"] << 4) | c["v"], c["q"]])
+    tables = dqt(0, lq) + (b"" if gray else dqt(1, cq)) + dhts
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = seg(0xFFDD, struct.pack(">H", ri)) if ri else b""
+    out = bytearray(b"\xff\xd8" + app0 + tables + dri + seg(sof, sof_body))
+    for (cis, ss, se, ah, al), sink in zip(scans, sinks):
+        body = bytes([len(cis)])
+        for ci in cis:
+            tid = 0 if comps[ci]["q"] == 0 else 1
+            body += bytes([comps[ci]["id"], (tid << 4) | tid])
+        body += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, body)
+        out += _serialize_ops(sink.ops, codes)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder — unified coefficient-buffer architecture
+#
+# Every scan (baseline interleaved, baseline non-interleaved multi-scan,
+# progressive DC/AC first/refinement) decodes into per-component
+# quantized-coefficient buffers; dequantization + IDCT + color convert
+# run ONCE at the end over all blocks (a single vectorized einsum per
+# component — faster than the old per-block matrix multiplies too).
+# This is the standard progressive-decoder shape (T.81 Annex G): later
+# scans refine coefficients earlier scans created, so pixels cannot be
+# produced until the last scan lands.
 # --------------------------------------------------------------------------
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG -> (h, w, 3) uint8 RGB, pure numpy.
+    """JFIF/JPEG -> (h, w, 3) uint8 RGB, pure numpy.
 
-    Supports SOF0 (baseline sequential Huffman), 1 or 3 components,
-    4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers, and fill bytes.
-    Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+    Supports SOF0/SOF1 (baseline/extended sequential Huffman) including
+    non-interleaved multi-scan files, and SOF2 (progressive Huffman:
+    spectral selection + successive approximation, DC and AC refinement
+    scans, EOB runs) — together the whole of web JPEG. 1 or 3
+    components, 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers, fill
+    bytes, either table arrangement. Arithmetic coding, lossless and
+    hierarchical SOFs, and 12-bit precision raise
     ``NotImplementedError`` — honestly out of scope, dispatched cleanly.
 
     The entropy decode is bit-at-a-time Python — correct and fine for
@@ -454,7 +910,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    coefs = None
     restart_interval = 0
+    scanned = False
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             raise ValueError("bad marker alignment")
@@ -490,7 +948,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[j + 17 : j + 17 + n])
                 htables[(cls, tid)] = _decode_table(bits, vals)
                 j += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2 (progressive)
             prec, h, w0, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -498,10 +956,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF, "q": qid})
-            frame = {"h": h, "w": w0, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w0, "comps": comps, "progressive": marker == 0xC2}
+            # per-component quantized-coefficient buffers, MCU-padded,
+            # zigzag index order (the entropy-coded order)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w0 // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coefs = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/lossless) not supported"
+                f"JPEG SOF{marker - 0xC0} (arithmetic/lossless/hierarchical) not supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -509,90 +977,239 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            if ns != len(frame["comps"]):
-                # legal per T.81 (non-interleaved multi-scan baseline) but
-                # out of scope — fail loudly, never decode wrong pixels
-                raise NotImplementedError(
-                    "non-interleaved (multi-scan) baseline JPEG not supported"
-                )
             sel = {}  # insertion-ordered: SOS component order
             for c in range(ns):
                 cid, tids = body[1 + 2 * c], body[2 + 2 * c]
                 sel[cid] = (tids >> 4, tids & 0xF)
-            return _decode_scan(
-                payload, i, frame, sel, qtables, htables, restart_interval
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            scan = {"sel": sel, "ss": ss, "se": se, "ah": a >> 4, "al": a & 0xF}
+            _validate_scan(frame, scan)
+            j = _entropy_end(payload, i)
+            _decode_scan_entropy(
+                payload[i:j], frame, scan, coefs, htables, restart_interval
             )
-        # other markers (APPn, COM): skipped
-    raise ValueError("jpeg has no scan")
+            scanned = True
+            i = j
+        # other markers (APPn, COM, DNL): skipped
+    if frame is None or not scanned:
+        raise ValueError("jpeg has no scan")
+    return _assemble(frame, coefs, qtables)
 
 
-def _decode_scan(payload, i, frame, sel, qtables, htables, restart_interval):
+def _entropy_end(payload: bytes, i: int) -> int:
+    """Index of the first true marker after entropy data at ``i`` —
+    skipping stuffed 0x00 bytes, RSTn markers, and 0xFF fill bytes."""
+    n = len(payload)
+    j = i
+    while j + 1 < n:
+        if payload[j] == 0xFF:
+            b = payload[j + 1]
+            if b == 0x00 or 0xD0 <= b <= 0xD7:
+                j += 2
+                continue
+            if b == 0xFF:  # fill byte before a marker
+                j += 1
+                continue
+            return j
+        j += 1
+    return n
+
+
+def _validate_scan(frame, scan) -> None:
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if frame["progressive"]:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan["sel"]) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if not (0 <= ss <= se <= 63):
+            raise ValueError("bad spectral range")
+        if ah and ah != al + 1:
+            raise ValueError("refinement scan must have Ah = Al + 1")
+    elif (ss, se, ah) != (0, 63, 0) or al != 0:
+        raise ValueError("sequential scan must have Ss=0 Se=63 Ah=Al=0")
+
+
+def _decode_scan_entropy(data, frame, scan, coefs, htables, restart_interval):
     comps = frame["comps"]
     # MCU data is interleaved in SOS order, which T.81 allows to differ
     # from SOF order — iterate the scan's order, not the frame's
     by_id = {c["id"]: ci for ci, c in enumerate(comps)}
     try:
-        scan_order = [by_id[cid] for cid in sel]
+        order = [by_id[cid] for cid in scan["sel"]]
     except KeyError as e:
         raise ValueError(f"SOS references unknown component {e}") from None
+    prog = frame["progressive"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if not prog:
+        ss, al = 1, 0  # DC handled inline; full spectral range
+    r = _BitReader(data)
+    preds = [0] * len(comps)
+    st = {"eob": 0}
+
+    def restart():
+        r.byte_align()
+        while (
+            r.i + 1 < len(r.data)
+            and r.data[r.i] == 0xFF
+            and 0xD0 <= r.data[r.i + 1] <= 0xD7
+        ):
+            r.i += 2
+        for ci in range(len(preds)):
+            preds[ci] = 0
+        st["eob"] = 0
+
+    def block(ci, by, bx):
+        blk = coefs[ci][by, bx]
+        td, ta = scan["sel"][comps[ci]["id"]]
+        if prog and ss == 0:  # DC scan
+            if ah == 0:
+                dc_t = htables.get((0, td))
+                if dc_t is None:
+                    raise ValueError("missing huffman table")
+                s = _decode_symbol(r, dc_t)
+                preds[ci] += _receive_extend(r, s)
+                blk[0] = preds[ci] << al
+            elif r.read_bit():  # DC refinement: one raw bit per block
+                blk[0] = int(blk[0]) | (1 << al)
+            return
+        ac_t = htables.get((1, ta))
+        if ac_t is None:
+            raise ValueError("missing huffman table")
+        if prog and ah > 0:  # AC refinement
+            _ac_refine_block(r, ac_t, blk, ss, se, al, st)
+            return
+        if not prog:  # sequential: DC precedes AC in the same block
+            dc_t = htables.get((0, td))
+            if dc_t is None:
+                raise ValueError("missing huffman table")
+            s = _decode_symbol(r, dc_t)
+            preds[ci] += _receive_extend(r, s)
+            blk[0] = preds[ci]
+        # AC first scan (or sequential AC): EOB-run semantics — in
+        # sequential data the EOB symbol (rrrr=0) yields eob=0, i.e.
+        # plain end-of-block, so one loop serves both frame types
+        if st["eob"]:
+            st["eob"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _decode_symbol(r, ac_t)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr == 15:
+                    k += 16  # ZRL
+                    continue
+                st["eob"] = (1 << rr) - 1 + (r.read_bits(rr) if rr else 0)
+                break
+            k += rr
+            if k > se:
+                raise ValueError("AC run past spectral end")
+            blk[k] = _receive_extend(r, s) << al
+            k += 1
+
+    ri = restart_interval
+    if len(order) > 1:  # interleaved: MCUs of the scan's components
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = -(-frame["w"] // (8 * hmax))
+        mcuy = -(-frame["h"] // (8 * vmax))
+        n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if ri and n and n % ri == 0:
+                    restart()
+                for ci in order:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block(ci, my * c["v"] + by, mx * c["h"] + bx)
+                n += 1
+    else:  # non-interleaved: the component's own (unpadded) block grid
+        ci = order[0]
+        c = comps[ci]
+        hmax = max(cc["h"] for cc in comps)
+        vmax = max(cc["v"] for cc in comps)
+        cw = -(-frame["w"] * c["h"] // hmax)  # ceil(w * h_i / hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        n = 0
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                if ri and n and n % ri == 0:
+                    restart()
+                block(ci, by, bx)
+                n += 1
+
+
+def _ac_refine_block(r, ac_t, blk, ss, se, al, st):
+    """One block of an AC successive-approximation refinement scan
+    (T.81 G.1.2.3): already-nonzero coefficients receive a correction
+    bit as the scan passes them; newly significant coefficients appear
+    as ±2^Al; EOB runs cover blocks with no new significant coefs."""
+    p1 = 1 << al
+
+    def correct(k):
+        c = int(blk[k])
+        if r.read_bit() and not (c & p1):
+            blk[k] = c + p1 if c > 0 else c - p1
+
+    if st["eob"]:
+        st["eob"] -= 1
+        for k in range(ss, se + 1):
+            if blk[k]:
+                correct(k)
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(r, ac_t)
+        rr, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rr != 15:  # EOBn: run of blocks with no new significants
+                st["eob"] = (1 << rr) - 1 + (r.read_bits(rr) if rr else 0)
+                for k2 in range(k, se + 1):  # corrections for the rest
+                    if blk[k2]:
+                        correct(k2)
+                return
+            val = 0  # ZRL: skip 16 zero-history positions
+        else:
+            if s != 1:
+                raise ValueError("bad AC refinement symbol")
+            val = p1 if r.read_bit() else -p1
+        # advance over rr zero-history positions, correcting nonzero ones
+        while k <= se:
+            if blk[k]:
+                correct(k)
+            else:
+                if rr == 0:
+                    break
+                rr -= 1
+            k += 1
+        if val and k <= se:
+            blk[k] = val
+        k += 1
+
+
+def _assemble(frame, coefs, qtables):
+    """Dequantize + IDCT every component's coefficient buffer (one
+    vectorized einsum per component), upsample chroma, color-convert."""
+    comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-frame["w"] // (8 * hmax))
     mcuy = -(-frame["h"] // (8 * vmax))
-
     planes = []
-    for c in comps:
-        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
-
-    r = _BitReader(payload[i:])
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # RSTn marker: byte-align, consume the marker, reset preds
-                r.byte_align()
-                while r.i + 1 < len(r.data) and r.data[r.i] == 0xFF and (
-                    0xD0 <= r.data[r.i + 1] <= 0xD7
-                ):
-                    r.i += 2
-                preds = [0] * len(comps)
-            for ci in scan_order:
-                c = comps[ci]
-                dc_t = htables.get((0, sel[c["id"]][0]))
-                ac_t = htables.get((1, sel[c["id"]][1]))
-                q = qtables[c["q"]]
-                if dc_t is None or ac_t is None:
-                    raise ValueError("missing huffman table")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = _decode_symbol(r, dc_t)
-                        preds[ci] += _receive_extend(r, s)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_symbol(r, ac_t)
-                            rrrr, ssss = rs >> 4, rs & 0xF
-                            if ssss == 0:
-                                if rrrr == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += rrrr
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _receive_extend(r, ssss)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = zz * q.reshape(-1)[ZIGZAG]
-                        pix = _T.T @ block.reshape(8, 8) @ _T + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
-            mcu_count += 1
-
+    for ci, c in enumerate(comps):
+        q = qtables.get(c["q"])
+        if q is None:
+            raise ValueError("missing quantization table")
+        qz = q.reshape(-1)[ZIGZAG].astype(np.float64)  # zigzag-order quant
+        zz = coefs[ci].astype(np.float64) * qz
+        nat = np.zeros_like(zz)
+        nat[..., ZIGZAG] = zz  # un-zigzag to natural order
+        bh_, bw_ = nat.shape[:2]
+        blocks = nat.reshape(bh_, bw_, 8, 8)
+        pix = np.einsum("ab,yxbc,cd->yxad", _T.T, blocks, _T) + 128.0
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8))
     h, w0 = frame["h"], frame["w"]
     if len(comps) == 1:
         y = np.clip(planes[0][:h, :w0] + 0.5, 0, 255).astype(np.uint8)

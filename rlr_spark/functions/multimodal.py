@@ -10,13 +10,15 @@ audio — binary P6 PPM and RIFF/PCM WAV parse with pure Python + numpy
 (deflate) plus per-scanline un-filtering (None/Sub/Up/Average/Paeth)
 across the full layout matrix (grey 1/2/4/8/16-bit, RGB/RGBA 8/16,
 palette 1/2/4/8, Adam7 interlacing), GIF decodes via pure-Python LZW,
-and baseline JFIF/JPEG decodes through a pure-numpy Huffman + IDCT
-pipeline (:mod:`rlr_spark.functions.jpeg`) — so ``image_stats`` /
+and JFIF/JPEG — baseline, non-interleaved multi-scan, AND progressive
+(SOF2 with spectral selection + successive approximation) — decodes
+through a pure-numpy Huffman + IDCT pipeline
+(:mod:`rlr_spark.functions.jpeg`) — so ``image_stats`` /
 ``audio_stats`` / ``resize_nearest`` run end-to-end on real bytes.
-The remaining codecs (WebP/AVIF/MP3/H.264, progressive JPEG) stay a
-clearly-marked ``NotImplementedError`` — the sandbox ships no codec
-library — with the dispatch sniffing magic bytes so dropping in
-PIL/libsndfile upgrades those branches without touching the operators.
+The remaining codecs (WebP/AVIF/MP3/H.264) stay a clearly-marked
+``NotImplementedError`` — the sandbox ships no codec library — with
+the dispatch sniffing magic bytes so dropping in PIL/libsndfile
+upgrades those branches without touching the operators.
 """
 
 from __future__ import annotations
@@ -482,10 +484,11 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Dispatch on magic bytes: P6 PPM, PNG, and baseline JPEG all
-    decode for real (PPM is a header parse; PNG is stdlib zlib +
-    per-scanline un-filtering; JPEG is a pure-numpy Huffman + IDCT
-    pipeline, :mod:`rlr_spark.functions.jpeg`); the remaining formats
+    """Dispatch on magic bytes: P6 PPM, PNG, GIF, and JPEG (baseline
+    AND progressive) all decode for real (PPM is a header parse; PNG is
+    stdlib zlib + per-scanline un-filtering; GIF is pure-Python LZW;
+    JPEG is a pure-numpy Huffman + IDCT pipeline,
+    :mod:`rlr_spark.functions.jpeg`); the remaining formats
     (WebP/AVIF/...) raise until a codec library is dropped in —
     everything downstream (batch shape, schema, partitioning) already
     handles the real thing."""

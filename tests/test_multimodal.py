@@ -312,10 +312,15 @@ def test_jpeg_unsupported_and_truncated():
 
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     payload = bytearray(encode_jpeg(img))
-    # flip SOF0 -> SOF2 (progressive): explicit NotImplementedError
+    # flip SOF0 -> SOF9 (arithmetic coding): explicit NotImplementedError
     i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC9
+    with _pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(payload))
+    # flip SOF0 -> SOF2: now parsed as progressive, whose scan rules the
+    # baseline-shaped scan header violates -> ValueError, never garbage
     payload[i + 1] = 0xC2
-    with _pytest.raises(NotImplementedError, match="progressive|SOF"):
+    with _pytest.raises(ValueError, match="progressive|spectral|Se"):
         decode_jpeg(bytes(payload))
     # truncated entropy data: ValueError (image_stats maps to decoded=false)
     with _pytest.raises(ValueError):
@@ -438,7 +443,8 @@ def test_jpeg_sos_order_differs_from_sof_order():
         decode_jpeg(encode_jpeg(grad, quality=95)),
     )
 
-    # ns != nc: patch the SOS header of a valid file down to 1 component
+    # ns != nc with entropy data that still encodes 3 interleaved
+    # components: corrupt — must raise, never return pixels silently
     payload = bytearray(encode_jpeg(flat, quality=90))
     i = payload.find(bytes([0xFF, 0xDA]))
     assert i > 0
@@ -446,8 +452,88 @@ def test_jpeg_sos_order_differs_from_sof_order():
     payload[i + 2 : i + 4] = (8).to_bytes(2, "big")
     payload[i + 4] = 1
     del payload[i + 7 : i + 11]  # drop comps 2 and 3 entries
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
+
+
+def test_jpeg_progressive_and_multiscan():
+    """Progressive (SOF2) decode is real: the default coarse-to-fine
+    script (DC at Al=1, banded luma AC at Al=2, chroma AC at Al=1, then
+    DC/AC refinement scans with EOB runs) must reconstruct EXACTLY the
+    same pixels as the baseline encoding of the same image — the
+    quantized coefficients are identical, only the entropy serialization
+    differs. Likewise the non-interleaved multi-scan baseline layout."""
+    import numpy as np
+
+    from rlr_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_multiscan_baseline,
+        encode_jpeg_progressive,
+    )
+    from rlr_spark.functions.multimodal import decode_image
+
+    rng = np.random.default_rng(11)
+    grad = (
+        rng.integers(0, 60, (24, 33, 3)) + np.linspace(0, 195, 33)[None, :, None]
+    ).astype(np.uint8)
+    noise = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+
+    for img, q in [(grad, 85), (noise, 30), (noise, 95)]:
+        for sub in ("444", "422", "420"):
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, subsampling=sub)
+            )
+            assert np.array_equal(prog, base), (q, sub, "progressive")
+            ms = decode_jpeg(
+                encode_jpeg_multiscan_baseline(img, quality=q, subsampling=sub)
+            )
+            assert np.array_equal(ms, base), (q, sub, "multiscan")
+
+    # grayscale progressive
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(grad, quality=85, grayscale=True)),
+        decode_jpeg(encode_jpeg(grad, quality=85, grayscale=True)),
+    )
+    # restart markers inside progressive and multi-scan files
+    for ri in (1, 3, 7):
+        base = decode_jpeg(
+            encode_jpeg(noise, quality=60, subsampling="420", restart_interval=ri)
+        )
+        assert np.array_equal(
+            decode_jpeg(
+                encode_jpeg_progressive(
+                    noise, quality=60, subsampling="420", restart_interval=ri
+                )
+            ),
+            base,
+        ), ri
+        assert np.array_equal(
+            decode_jpeg(
+                encode_jpeg_multiscan_baseline(
+                    noise, quality=60, subsampling="420", restart_interval=ri
+                )
+            ),
+            base,
+        ), ri
+    # spectral-selection-only script (no successive approximation)
+    script = (
+        ((0, 1, 2), 0, 0, 0, 0),
+        ((0,), 1, 20, 0, 0),
+        ((0,), 21, 63, 0, 0),
+        ((1,), 1, 63, 0, 0),
+        ((2,), 1, 63, 0, 0),
+    )
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(grad, quality=85, scans=script)),
+        decode_jpeg(encode_jpeg(grad, quality=85)),
+    )
+    # dispatch: magic bytes route progressive payloads to the decoder too
+    assert np.array_equal(
+        decode_image(encode_jpeg_progressive(grad, quality=85)),
+        decode_jpeg(encode_jpeg(grad, quality=85)),
+    )
 
 
 def test_gif_roundtrip_exact():
