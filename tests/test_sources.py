@@ -126,3 +126,83 @@ def test_stata_roundtrip(spark, tmp_path):
     back = read_stata(spark, path)
     assert back.count() == df.count()
     assert set(back.columns) >= set(df.columns)
+
+
+def test_warc_read_full_and_wet(spark, tmp_path):
+    """WARC source: gzip-member and plain files, record-type filtering
+    inside the parse loop, HTTP response unwrapping, WET text decode."""
+    from rlr_spark.sources.warc import (
+        read_warc,
+        read_warc_pages,
+        read_wet_text,
+        write_warc,
+    )
+
+    records = [
+        {"warc_type": "warcinfo", "content_type": "application/warc-fields",
+         "body": "software: test\r\n"},
+        {"warc_type": "request", "target_uri": "https://a.example.org/x",
+         "body": "GET /x HTTP/1.1\r\n\r\n"},
+        {"warc_type": "response", "target_uri": "https://a.example.org/x",
+         "http_status": 200, "http_content_type": "text/html",
+         "body": "<html><body>hello warc</body></html>",
+         "content_type": "application/http; msgtype=response"},
+        {"warc_type": "response", "target_uri": "https://a.example.org/404",
+         "http_status": 404, "http_content_type": "text/html",
+         "body": "gone", "content_type": "application/http; msgtype=response"},
+        {"warc_type": "conversion", "target_uri": "https://a.example.org/x",
+         "content_type": "text/plain", "body": "hello warc extracted"},
+    ]
+    gz = str(tmp_path / "seg.warc.gz")
+    plain = str(tmp_path / "seg.warc")
+    write_warc(gz, records, compress=True)
+    write_warc(plain, records, compress=False)
+
+    for path in (gz, plain):
+        all_recs = read_warc(spark, path).collect()
+        assert len(all_recs) == 5
+        by_type = {r.warc_type: r for r in all_recs}
+        assert set(by_type) == {"warcinfo", "request", "response", "conversion"}
+        ok = [r for r in all_recs if r.http_status == 200][0]
+        assert bytes(ok.payload) == b"<html><body>hello warc</body></html>"
+        assert ok.http_content_type == "text/html"
+
+        # type filter prunes before any Arrow batch is built
+        resp_only = read_warc(spark, path, warc_types=("response",)).collect()
+        assert {r.warc_type for r in resp_only} == {"response"}
+        assert len(resp_only) == 2
+
+        # pipeline-input convenience: only HTTP 200 responses
+        pages = read_warc_pages(spark, path).collect()
+        assert len(pages) == 1 and pages[0].url == "https://a.example.org/x"
+
+        # WET text decode
+        wet = read_wet_text(spark, path).collect()
+        assert len(wet) == 1 and wet[0].text == "hello warc extracted"
+
+
+def test_warc_malformed_raises(spark, tmp_path):
+    """Framing corruption must fail loudly, never resynchronize onto
+    garbage records."""
+    import pytest as _pytest
+
+    from rlr_spark.sources.warc import _iter_warc_records, write_warc
+
+    with _pytest.raises(ValueError, match="WARC/"):
+        list(_iter_warc_records(b"NOT A WARC\r\n\r\n"))
+    with _pytest.raises(ValueError, match="Content-Length"):
+        list(_iter_warc_records(b"WARC/1.0\r\nWARC-Type: resource\r\n\r\n"))
+    with _pytest.raises(ValueError, match="truncated"):
+        list(_iter_warc_records(
+            b"WARC/1.0\r\nContent-Length: 100\r\n\r\nshort"
+        ))
+
+    # a truncated gzip member surfaces as an error through the Spark job
+    gz = str(tmp_path / "bad.warc.gz")
+    write_warc(gz, [{"warc_type": "resource", "body": "x" * 500}], compress=True)
+    data = open(gz, "rb").read()
+    open(gz, "wb").write(data[: len(data) // 2])
+    from rlr_spark.sources.warc import read_warc
+
+    with _pytest.raises(Exception, match="gzip|truncated"):
+        read_warc(spark, gz).collect()
