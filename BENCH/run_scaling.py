@@ -469,10 +469,6 @@ Reproduce: `python BENCH/run_scaling.py {r['cores_per_executor']} {r['pages']}`.
 """
 
 
-if __name__ == "__main__":
-    main()
-
-
 def _floors_md(r: dict) -> str:
     """Fixed-cost decomposition against measured near-zero-data stage
     floors (BENCH/stage_floors.json, written by the floor probe: the
@@ -569,3 +565,7 @@ def _other_configs_md(primary_run: dict) -> str:
 |---|---|---|---|---|---|
 {rows}
 """
+
+
+if __name__ == "__main__":
+    main()

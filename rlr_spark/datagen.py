@@ -203,6 +203,52 @@ def write_web_pages(out_dir: str, n_pages: int, seed: int = 42) -> tuple[str, st
     return pages_path, truth_path
 
 
+def write_web_pages_warc(
+    out_dir: str, n_pages: int, seed: int = 42, n_segments: int = 4
+) -> tuple[str, str]:
+    """Same corpus as :func:`write_web_pages`, serialized as WARC
+    segment files (.warc.gz, one gzip member per record — the Common
+    Crawl layout) instead of parquet; the truth table stays parquet.
+    Returns (warc_glob, truth_path). The response payloads are the
+    exact ``html`` bytes, so the extract stage's byte-identity
+    contract is testable straight off the archive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rlr_spark.sources.warc import write_warc
+
+    pages, truth = generate_web_pages(n_pages, seed)
+    warc_dir = os.path.join(out_dir, "warc")
+    os.makedirs(warc_dir, exist_ok=True)
+    per = -(-len(pages) // n_segments)
+    for s in range(n_segments):
+        chunk = pages.iloc[s * per : (s + 1) * per]
+        if chunk.empty:
+            continue
+        write_warc(
+            os.path.join(warc_dir, f"seg-{s:05d}.warc.gz"),
+            [
+                {
+                    "warc_type": "response",
+                    "target_uri": r.url,
+                    "date": r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    "http_status": 200,
+                    "http_content_type": "text/html; charset=utf-8",
+                    "body": bytes(r.html),
+                    "content_type": "application/http; msgtype=response",
+                }
+                for r in chunk.itertuples()
+            ],
+        )
+    truth_path = os.path.join(out_dir, "truth.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(truth, preserve_index=False),
+        truth_path,
+        row_group_size=50_000,
+    )
+    return os.path.join(warc_dir, "*.warc.gz"), truth_path
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity firm fixtures (FIXTURES.md F2/F3, mirrors RLR_Home.py:96-119)
 # ---------------------------------------------------------------------------

@@ -209,6 +209,20 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def warc_web_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC segments -> the pipeline's web_pages input shape
+    (url, warc_ts, html) — so ``Pipeline.run(warc_web_pages(spark,
+    "s3://crawl/segments/*.warc.gz"))`` is the whole ingestion story.
+    ``html`` stays BinaryType end-to-end (the extract stage's
+    byte-identity contract); the WARC-Date header parses as the
+    ISO-8601 instant the standard mandates."""
+    return read_warc_pages(spark, path).select(
+        "url",
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").alias("warc_ts"),
+        F.col("payload").alias("html"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Writer (test synthesis)
 # ---------------------------------------------------------------------------

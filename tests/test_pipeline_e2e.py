@@ -184,3 +184,34 @@ def test_uid128_mode_same_clusters_no_validator_job(spark, pipeline_out, run_dir
     # re-read via the catalog: earlier tests re-materialized the stage,
     # so the fixture's DataFrame points at replaced part files
     assert url_groups(out["cluster"]) == url_groups(pipe64.catalog.read("cluster"))
+
+
+def test_pipeline_from_warc_segments(spark, tmp_path):
+    """Ingestion off the wire format: WARC segment files (the Common
+    Crawl layout) -> warc_web_pages -> full pipeline. F1 holds against
+    the planted truth and extraction is byte-identical to the authored
+    text (the north-rule invariant survives the HTTP/WARC framing)."""
+    from rlr_spark.datagen import write_web_pages, write_web_pages_warc
+    from rlr_spark.sources.warc import warc_web_pages
+
+    glob, truth_path = write_web_pages_warc(
+        str(tmp_path / "crawl"), n_pages=400, seed=42, n_segments=3
+    )
+    pages = warc_web_pages(spark, glob)
+    truth = spark.read.parquet(truth_path)
+
+    cat = Catalog(spark, str(tmp_path / "warehouse"))
+    pipe = Pipeline(spark, cat, PipelineConfig(salt_k=2, max_block_size=None))
+    out = pipe.run(pages)
+    scores = pairwise_f1(out["cluster"], truth)
+    assert scores["f1"] >= 0.99, scores
+
+    # byte-identity: extracted text off the archive == authored text
+    pq_dir = str(tmp_path / "pq")
+    pages_path, _ = write_web_pages(pq_dir, n_pages=400, seed=42)
+    authored = spark.read.parquet(pages_path).select("url", "text")
+    extracted = cat.read("extract").select("url", "text")
+    diff = extracted.join(authored, "url").where(
+        extracted["text"] != authored["text"]
+    )
+    assert diff.count() == 0
