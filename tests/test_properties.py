@@ -88,3 +88,101 @@ def test_fs_labels_are_total_and_exclusive(spark, sims, upper):
         assert r.rlr_label in ("Match", "Not a Match", "Maybe a Match")
         assert (r.rlr_label == "Match") == (r.fs_score >= upper)
         assert r.rlr_label_ind == 1
+
+
+# --- codec invariants (pure numpy; no Spark session touched) -----------
+
+
+@given(
+    h=st.integers(1, 21),
+    w=st.integers(1, 23),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.integers(25, 95),
+    sub=st.sampled_from(["444", "422", "420"]),
+    ri=st.sampled_from([0, 0, 1, 3]),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_progressive_equals_baseline_property(h, w, seed, quality, sub, ri):
+    """For ANY image/quality/subsampling/restart combination, the
+    progressive and non-interleaved multi-scan serializations must
+    reconstruct bit-identically to the baseline serialization — they
+    encode the same quantized coefficients, so any divergence is an
+    entropy-coding bug (EOB runs, refinement bit order, restarts)."""
+    import numpy as np
+
+    from rlr_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_multiscan_baseline,
+        encode_jpeg_progressive,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(
+        encode_jpeg(img, quality=quality, subsampling=sub, restart_interval=ri)
+    )
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            img, quality=quality, subsampling=sub, restart_interval=ri
+        )
+    )
+    assert np.array_equal(prog, base)
+    ms = decode_jpeg(
+        encode_jpeg_multiscan_baseline(
+            img, quality=quality, subsampling=sub, restart_interval=ri
+        )
+    )
+    assert np.array_equal(ms, base)
+
+
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    layout=st.sampled_from(
+        ["rgb8", "rgba8", "grey8", "grey16", "rgb16", "pal8", "pal4", "pal1", "grey4"]
+    ),
+    interlace=st.booleans(),
+    filt=st.sampled_from([None, [0], [1], [2], [3], [4], [0, 1, 2, 3, 4]]),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(h, w, seed, layout, interlace, filt):
+    """Every PNG layout x filter x interlace combination must round-trip
+    exactly (after the documented projections: 16-bit -> high byte,
+    sub-byte grey -> scaled, palette -> looked-up RGB)."""
+    import numpy as np
+
+    from rlr_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    kw = {"interlace": interlace, "row_filters": filt}
+    if layout == "rgb8":
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        exp = img
+        got = decode_png(encode_png(img, **kw))
+    elif layout == "rgba8":
+        img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        exp = img[:, :, :3]
+        got = decode_png(encode_png(img, **kw))
+    elif layout == "grey8":
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        exp = np.repeat(img[:, :, None], 3, axis=2)
+        got = decode_png(encode_png(img, **kw))
+    elif layout in ("grey16", "rgb16"):
+        shape = (h, w) if layout == "grey16" else (h, w, 3)
+        img = rng.integers(0, 65536, shape, dtype=np.uint16)
+        hi = (img >> 8).astype(np.uint8)
+        exp = np.repeat(hi[:, :, None], 3, axis=2) if layout == "grey16" else hi
+        got = decode_png(encode_png(img, depth=16, **kw))
+    elif layout == "grey4":
+        img = rng.integers(0, 16, (h, w), dtype=np.uint8)
+        exp = np.repeat((img * 17)[:, :, None], 3, axis=2)
+        got = decode_png(encode_png(img, depth=4, **kw))
+    else:  # palette at depth 8/4/1
+        depth = int(layout[3:])
+        n = min(1 << depth, 7)
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        img = rng.integers(0, n, (h, w), dtype=np.uint8)
+        exp = pal[img]
+        got = decode_png(encode_png(img, palette=pal, depth=depth, **kw))
+    assert np.array_equal(got, exp), layout
