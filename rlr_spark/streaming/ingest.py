@@ -5,8 +5,9 @@ kind"), but the 10^12-document target is append-heavy: new WARC drops
 arrive continuously. This module gives the pipeline's front half a
 Structured Streaming shape:
 
-  readStream(web_pages dir) -> extract text (same Arrow UDF as batch)
-  -> assign blocking keys -> append to the extract/keys tables
+  readStream(web_pages dir OR raw .warc.gz segment dir) -> extract
+  text (same Arrow UDF as batch) -> assign blocking keys -> append to
+  the extract/keys tables
 
 Candidate *pair* generation stays micro-batch via ``foreachBatch``
 (joining a stream against itself for LSH buckets would need full-state
@@ -47,6 +48,55 @@ def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
         .schema(WEB_PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .load(input_dir)
+    )
+
+
+def stream_warc_pages(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream over a directory that CRAWLERS APPEND WARC
+    SEGMENTS INTO — the live-ingestion shape of a real crawl: each
+    micro-batch picks up newly landed ``.warc.gz`` files (binaryFile
+    stream source), parses their gzip members with the same pure-Python
+    iterator as the batch reader, and emits the pipeline's
+    (url, warc_ts, html) rows. Gzip segments are unsplittable, so
+    file-per-task is both the batch AND the streaming decomposition —
+    the parse runs inside ``mapInPandas`` identically on either frame.
+    Downstream (``extract_and_key`` -> ``incremental_neardup_stream``)
+    is unchanged: this is only a new head for the existing stream.
+    """
+    import pandas as pd
+
+    from rlr_spark.sources.warc import WARC_SCHEMA, _records_of_file
+
+    # binaryFile's fixed schema, spelled out because streaming sources
+    # must not infer (Spark refuses; at scale inference is a listing
+    # pass over the whole directory anyway)
+    binary_file_schema = (
+        "path STRING, modificationTime TIMESTAMP, length LONG, content BINARY"
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", 4)
+        .load(input_dir)
+        .select("path", "content")
+    )
+
+    def gen(batches):
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                for rec in _records_of_file(p, bytes(blob)):
+                    if rec[2] == "response" and rec[6] == 200:
+                        rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    recs = files.mapInPandas(gen, WARC_SCHEMA)
+    return recs.select(
+        F.col("target_uri").alias("url"),
+        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").alias("warc_ts"),
+        F.col("payload").alias("html"),
     )
 
 

@@ -549,3 +549,50 @@ def test_compaction_crash_recovery(spark, tmp_path):
     after2 = spark.read.parquet(f"{work}/docs")
     assert sorted(map(tuple, after2.select("url", "text").collect())) == want
     shutil.rmtree(work)
+
+
+def test_stream_warc_segments(spark, tmp_path):
+    """Live crawl ingestion: WARC segments landing in a directory are
+    picked up per micro-batch, parsed, and flow through the SAME
+    extract/key projection as the parquet stream — with byte-identical
+    extraction vs the batch reader."""
+    from rlr_spark.datagen import write_web_pages_warc
+    from rlr_spark.sources.warc import warc_web_pages
+    from rlr_spark.streaming.ingest import stream_warc_pages
+
+    crawl = tmp_path / "crawl"
+    glob, _ = write_web_pages_warc(str(crawl), n_pages=120, seed=9, n_segments=3)
+    seg_dir = str(crawl / "warc")
+
+    out = extract_and_key(stream_warc_pages(spark, seg_dir))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("warc_stream_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a NEW segment landing mid-stream is picked up by the next batch
+        import shutil
+
+        late = tmp_path / "late"
+        write_web_pages_warc(str(late), n_pages=40, seed=77, n_segments=1)
+        shutil.copy(
+            str(late / "warc" / "seg-00000.warc.gz"),
+            seg_dir + "/seg-late.warc.gz",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT * FROM warc_stream_out")
+    assert got.count() == 160
+    assert {"url", "warc_ts", "text", "blk_key"} <= set(got.columns)
+    # stream text == batch-reader text, byte for byte
+    batch = warc_web_pages(spark, seg_dir + "/*.warc.gz")
+    from rlr_spark.operators.extract import extract_text
+
+    batch_text = extract_text(batch).select("url", F.col("text").alias("bt"))
+    joined = got.select("url", "text").join(batch_text, "url")
+    assert joined.count() == 160
+    assert joined.where(F.col("text") != F.col("bt")).count() == 0
