@@ -1,4 +1,4 @@
-"""Pure-Python GIF codec (LZW) — first-frame decode + encoder for tests.
+"""Pure-Python GIF codec (LZW) — stills AND animations, plus encoders.
 
 GIF is the last web-common image format decodable without a codec
 library: the pixel data is LZW-compressed palette indices, and GIF's
@@ -7,14 +7,18 @@ dictionary) is tractable in plain Python. Mirrors the role of
 :mod:`rlr_spark.functions.jpeg` / ``decode_png``: real bytes for the
 multimodal operators (reference parity target: RLR has no media path;
 this is part of the LLM-data suite, SURVEY.md §6), honest
-``NotImplementedError`` for out-of-scope variants.
+``ValueError`` for malformed streams.
 
 Scope: GIF87a/GIF89a, global/local color tables, interlaced or not,
-FIRST frame of an animation (composited onto the background-colored
-logical screen when the frame rect is smaller). Transparency is ignored
-(the frame is returned opaque — documented, deterministic). Later
-frames, disposal methods, and plain-text extensions are out of scope;
-truncated/invalid streams raise ``ValueError``.
+and full GIF89a ANIMATION semantics (:func:`decode_gif_frames`):
+per-frame graphic-control extensions — delay, transparent index
+(delta frames leave covered pixels unchanged), disposal methods
+none/leave/restore-background/restore-previous — composited onto the
+logical screen; :func:`decode_gif` returns the first composited frame.
+Encoders exist for both stills (:func:`encode_gif`) and animations
+(:func:`encode_gif_frames`, incl. transparent-delta and sub-rect
+frames) so every decode path runs on real bytes. Plain-text extensions
+are skipped; truncated/invalid streams raise ``ValueError``.
 
 Spec: GIF89a specification (CompuServe, public), esp. Appendix F (LZW).
 """
@@ -184,18 +188,45 @@ def _deinterlace(rows: "np.ndarray") -> "np.ndarray":
 
 
 def decode_gif(payload: bytes) -> "np.ndarray":
-    """GIF -> (h, w, 3) uint8 RGB; first frame, composited onto the
-    background-colored logical screen if smaller. See module docstring
-    for scope."""
+    """GIF -> (h, w, 3) uint8 RGB; first composited frame. See module
+    docstring for scope."""
+    frames, _ = decode_gif_frames(payload, max_frames=1)
+    return frames[0]
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: int | None = None
+) -> "tuple[np.ndarray, list[int]]":
+    """GIF (still or animated) -> ((n, h, w, 3) uint8 frames, delays).
+
+    Full GIF89a animation semantics: each image descriptor composites
+    onto the logical-screen canvas (background-colored when a global
+    table exists); graphic-control extensions supply per-frame delay
+    (returned in milliseconds), a transparent index (those pixels leave
+    the canvas unchanged — how animations encode deltas), and the
+    disposal method applied AFTER the frame is emitted (1/0 leave, 2
+    restore background in the frame rect, 3 restore the pre-frame
+    pixels). ``max_frames`` stops decoding early — frame sampling never
+    pays for the tail of a long animation.
+    """
     if payload[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF payload")
     try:
-        return _decode_gif_body(payload)
+        frames: list[np.ndarray] = []
+        delays: list[int] = []
+        for canvas, delay_ms in _iter_gif_frames(payload):
+            frames.append(canvas)
+            delays.append(delay_ms)
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+        if not frames:
+            raise ValueError("gif has no image data")
+        return np.stack(frames), delays
     except (struct.error, IndexError) as e:  # ran off the payload end
         raise ValueError(f"gif truncated or malformed: {e}") from None
 
 
-def _decode_gif_body(payload: bytes) -> "np.ndarray":
+def _iter_gif_frames(payload: bytes):
     sw, sh, packed, bg_idx, _aspect = struct.unpack_from("<HHBBB", payload, 6)
     i = 13
     gct = None
@@ -204,14 +235,31 @@ def _decode_gif_body(payload: bytes) -> "np.ndarray":
         gct = np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
         i += 3 * n
 
+    bg = (
+        gct[bg_idx]
+        if gct is not None and bg_idx < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg
+    gce: tuple[int, int | None, int] | None = None  # (disposal, tidx, delay_ms)
+
     while i < len(payload):
         block = payload[i]
         i += 1
-        if block == 0x3B:  # trailer before any image
-            raise ValueError("gif has no image data")
-        if block == 0x21:  # extension: label + sub-blocks, skipped
-            i += 1  # label
-            while payload[i] != 0:
+        if block == 0x3B:  # trailer
+            return
+        if block == 0x21:  # extension
+            label = payload[i]
+            i += 1
+            if label == 0xF9 and payload[i] >= 4:  # graphic control
+                gpacked, delay_cs, tidx = struct.unpack_from("<BHB", payload, i + 1)
+                gce = (
+                    (gpacked >> 2) & 0x7,
+                    tidx if (gpacked & 1) else None,
+                    delay_cs * 10,
+                )
+            while payload[i] != 0:  # skip sub-blocks (incl. the GCE's)
                 i += 1 + payload[i]
             i += 1
             continue
@@ -220,6 +268,8 @@ def _decode_gif_body(payload: bytes) -> "np.ndarray":
 
         fx, fy, fw, fh, fpacked = struct.unpack_from("<HHHHB", payload, i)
         i += 9
+        if fx + fw > sw or fy + fh > sh:
+            raise ValueError("gif frame rect outside logical screen")
         lct = None
         if fpacked & 0x80:
             n = 2 << (fpacked & 0x07)
@@ -242,17 +292,111 @@ def _decode_gif_body(payload: bytes) -> "np.ndarray":
         idx = np.array(_lzw_decode(bytes(data), mcs, fw * fh), dtype=np.int64)
         if (idx >= len(palette)).any():
             raise ValueError("gif pixel index beyond palette")
-        frame = palette[idx].reshape(fh, fw, 3)
+        idx = idx.reshape(fh, fw)
         if fpacked & 0x40:
-            frame = _deinterlace(frame)
-        if (fx, fy, fw, fh) == (0, 0, sw, sh):
-            return np.ascontiguousarray(frame)
-        canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
-        if gct is not None and bg_idx < len(gct):
-            canvas[:, :] = gct[bg_idx]
-        canvas[fy : fy + fh, fx : fx + fw] = frame
-        return canvas
-    raise ValueError("gif truncated before image data")
+            idx = _deinterlace(idx)
+
+        disposal, tidx, delay_ms = gce or (0, None, 0)
+        gce = None
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        saved = region.copy() if disposal == 3 else None
+        colored = palette[idx]
+        if tidx is not None:
+            mask = idx != tidx
+            region[mask] = colored[mask]
+        else:
+            region[:, :] = colored
+        yield canvas.copy(), delay_ms
+        if disposal == 2:  # restore background color in the frame rect
+            region[:, :] = bg
+        elif disposal == 3 and saved is not None:  # restore previous
+            region[:, :] = saved
+
+
+def encode_gif_frames(
+    frames: "list[np.ndarray]",
+    delays_ms: "list[int] | None" = None,
+    rects: "list[tuple[int, int]] | None" = None,
+    disposals: "list[int] | None" = None,
+    transparent_delta: bool = False,
+) -> bytes:
+    """Animated GIF89a from (h, w, 3) uint8 frames (test synthesis).
+
+    One global palette over all frames' distinct colors (≤255 so a
+    transparent slot stays reservable). Each frame gets a
+    graphic-control extension with its ``delays_ms`` entry and
+    ``disposals`` method. ``rects`` places frame k (its full array) at
+    (x, y) on the logical screen — frame 0 sizes the screen and must be
+    at (0, 0). ``transparent_delta`` encodes frames 2+ with pixels
+    equal to the previous frame as the transparent index (the standard
+    animation delta; requires full-rect frames and disposal 1).
+    """
+    if not frames:
+        raise ValueError("no frames")
+    first = np.ascontiguousarray(frames[0].astype(np.uint8))
+    h, w = first.shape[:2]
+    rects = rects or [(0, 0)] * len(frames)
+    disposals = disposals or [1] * len(frames)
+    delays_ms = delays_ms or [100] * len(frames)
+    if rects[0] != (0, 0) or frames[0].shape[:2] != (h, w):
+        raise ValueError("frame 0 must cover the logical screen at (0, 0)")
+    if transparent_delta and (
+        any(r != (0, 0) for r in rects)
+        or any(f.shape[:2] != (h, w) for f in frames)
+        or any(d != 1 for d in disposals[:-1])
+    ):
+        raise ValueError("transparent_delta needs full-rect frames, disposal 1")
+
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames], axis=0), axis=0
+    )
+    if len(colors) > 255:
+        raise ValueError(f"gif encoder: {len(colors)} colors > 255 (no quantizer)")
+    tidx = len(colors)  # reserved transparent slot
+    n_bits = max(int(np.ceil(np.log2(max(tidx + 1, 2)))), 1)
+    n_entries = 1 << n_bits
+    mcs = max(n_bits, 2)
+    pal = np.zeros((n_entries, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    lut = {tuple(c): k for k, c in enumerate(colors)}
+
+    def indices_of(f: "np.ndarray") -> "np.ndarray":
+        fl = f.reshape(-1, 3)
+        return np.array([lut[tuple(px)] for px in fl], dtype=np.int64).reshape(
+            f.shape[:2]
+        )
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((n_bits - 1) & 0x07), 0, 0)
+    out += pal.tobytes()
+    prev = None
+    for k, f in enumerate(frames):
+        fa = np.ascontiguousarray(f.astype(np.uint8))
+        fh, fw = fa.shape[:2]
+        fx, fy = rects[k]
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("frame rect outside logical screen")
+        idx = indices_of(fa)
+        trans = False
+        if transparent_delta and prev is not None:
+            same = (fa == prev).all(axis=2)
+            idx[same] = tidx
+            trans = bool(same.any())
+        gpacked = ((disposals[k] & 0x7) << 2) | (1 if trans else 0)
+        out += struct.pack(
+            "<BBBBHBB", 0x21, 0xF9, 4, gpacked, delays_ms[k] // 10, tidx, 0
+        )
+        out += struct.pack("<BHHHHB", 0x2C, fx, fy, fw, fh, 0)
+        out.append(mcs)
+        lzw = _lzw_encode(idx.reshape(-1), mcs)
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j : j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+        prev = fa if rects[k] == (0, 0) and fa.shape[:2] == (h, w) else None
+    out += b"\x3b"
+    return bytes(out)
 
 
 def encode_gif(img: "np.ndarray", interlace: bool = False) -> bytes:

@@ -597,6 +597,62 @@ def image_stats(media: DataFrame) -> DataFrame:
     )
 
 
+ANIMATION_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("delay_ms", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+    ]
+)
+
+
+def animation_frame_stats(media: DataFrame, max_frames: int = 16) -> DataFrame:
+    """REAL frame sampling for animated payloads (GIF): decode up to
+    ``max_frames`` composited frames per animation and emit one row per
+    (media_id, frame_idx) with the frame's delay and channel means —
+    the materialized form of :func:`frame_sample_plan`'s timestamp
+    grid, for the formats the sandbox can decode. Same shape as every
+    media operator here: Arrow-batched ``mapInPandas``, no shuffle, a
+    malformed payload yields one decoded=false row, never a task
+    failure. ``max_frames`` bounds per-row work — the decoder stops
+    reading the stream after that many frames, so sampling never pays
+    for a long animation's tail."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from rlr_spark.functions.gif import decode_gif_frames
+
+        cols = [f.name for f in ANIMATION_FRAMES_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames, delays = decode_gif_frames(
+                        bytes(payload), max_frames=max_frames
+                    )
+                    for k in range(frames.shape[0]):
+                        m = frames[k].reshape(-1, 3).mean(axis=0)
+                        rows.append(
+                            (mid, k, delays[k], frames.shape[2], frames.shape[1],
+                             round(float(m[0]), 6), round(float(m[1]), 6),
+                             round(float(m[2]), 6), True)
+                        )
+                except Exception:  # noqa: BLE001 — same contract as image_stats
+                    rows.append((mid, None, None, None, None, None, None, None, False))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        media.where(F.col("kind").isin("image", "video"))
+        .select("media_id", "payload")
+        .mapInPandas(op, schema=ANIMATION_FRAMES_SCHEMA)
+    )
+
+
 AUDIO_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

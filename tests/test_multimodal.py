@@ -604,3 +604,89 @@ def test_image_stats_decodes_real_gif(spark):
     assert abs(got.mean_r - 200.0) < 1e-6
     assert abs(got.mean_g - 100.0) < 1e-6
     assert abs(got.mean_b - 0.0) < 1e-6
+
+
+def test_gif_animation_frames():
+    """Full GIF89a animation semantics: per-frame delays, transparent-
+    delta compositing, sub-rect placement, and all three disposal
+    methods — every path driven by the multi-frame encoder's bytes."""
+    import numpy as np
+
+    from rlr_spark.functions.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    # still image through the frames API
+    img = (rng.integers(0, 6, (9, 7, 3)) * 40).astype(np.uint8)
+    f, d = decode_gif_frames(encode_gif(img))
+    assert f.shape == (1, 9, 7, 3) and np.array_equal(f[0], img)
+
+    # full-rect animation: exact frames and delays
+    frames = [(rng.integers(0, 4, (6, 8, 3)) * 60).astype(np.uint8) for _ in range(4)]
+    p = encode_gif_frames(frames, delays_ms=[50, 100, 150, 200])
+    got, delays = decode_gif_frames(p)
+    assert delays == [50, 100, 150, 200]
+    for k in range(4):
+        assert np.array_equal(got[k], frames[k]), k
+    assert np.array_equal(decode_gif(p), frames[0])  # first frame API
+    got2, _ = decode_gif_frames(p, max_frames=2)
+    assert got2.shape[0] == 2
+
+    # transparent-delta frames reconstruct exactly
+    base = np.zeros((5, 5, 3), dtype=np.uint8)
+    f2 = base.copy(); f2[2, 2] = (200, 0, 0)
+    f3 = f2.copy(); f3[0, 4] = (0, 200, 0)
+    got, _ = decode_gif_frames(
+        encode_gif_frames([base, f2, f3], transparent_delta=True)
+    )
+    for k, exp in enumerate((base, f2, f3)):
+        assert np.array_equal(got[k], exp), k
+
+    # sub-rect + disposal methods; palette slot 0 (= background) pinned
+    # to black via a black pixel in frame 0
+    red = np.full((4, 4, 3), (200, 10, 10), dtype=np.uint8)
+    red[0, 0] = (0, 0, 0)
+    green = np.full((1, 1, 3), (10, 200, 10), dtype=np.uint8)
+    tiny = np.full((1, 1, 3), (250, 250, 10), dtype=np.uint8)
+    p = encode_gif_frames(
+        [red, green, tiny], rects=[(0, 0), (1, 1), (3, 3)], disposals=[1, 2, 1]
+    )
+    got, _ = decode_gif_frames(p)
+    assert np.array_equal(got[1][1, 1], (10, 200, 10))  # drawn
+    assert np.array_equal(got[2][1, 1], (0, 0, 0))  # disposal 2: background
+    assert np.array_equal(got[2][3, 3], (250, 250, 10))
+    p = encode_gif_frames(
+        [red, green, tiny], rects=[(0, 0), (1, 1), (3, 3)], disposals=[1, 3, 1]
+    )
+    got, _ = decode_gif_frames(p)
+    assert np.array_equal(got[2][1, 1], (200, 10, 10))  # disposal 3: restored
+
+
+def test_animation_frame_stats_operator(spark):
+    """The operator path: sampled frames of a planted animation land as
+    per-frame rows with golden means; a malformed payload yields one
+    decoded=false row."""
+    import numpy as np
+
+    from rlr_spark.functions.gif import encode_gif_frames
+    from rlr_spark.functions.multimodal import MEDIA_SCHEMA, animation_frame_stats
+
+    f0 = np.full((4, 6, 3), (200, 100, 50), dtype=np.uint8)
+    f1 = np.full((4, 6, 3), (100, 200, 10), dtype=np.uint8)
+    rows = [
+        (1, "image", bytearray(encode_gif_frames([f0, f1], delays_ms=[40, 80])),
+         (6, 4, None, "image/gif")),
+        (2, "video", bytearray(b"GIF89a garbage"), (0, 0, None, "image/gif")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = animation_frame_stats(media).collect()
+    anim = sorted([r for r in got if r.media_id == 1], key=lambda r: r.frame_idx)
+    assert len(anim) == 2 and [r.delay_ms for r in anim] == [40, 80]
+    assert (anim[0].mean_r, anim[0].mean_g, anim[0].mean_b) == (200.0, 100.0, 50.0)
+    assert (anim[1].mean_r, anim[1].mean_g, anim[1].mean_b) == (100.0, 200.0, 10.0)
+    bad = [r for r in got if r.media_id == 2]
+    assert len(bad) == 1 and not bad[0].decoded
