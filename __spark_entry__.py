@@ -948,6 +948,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             window=2,
         )
 
+    # -- overlapping token-window chunking (the embed/pack prestep of
+    # every RAG/training pipeline): 64-token windows, stride 48 --------
+    def text_chunks(spark, sf_dir):
+        from rlr_spark.functions.text import chunk_documents
+
+        d = _t(spark, sf_dir, "documents")
+        return chunk_documents(d, chunk_tokens=64, stride=48)
+
     # -- exact per-group quantiles of document length (continuous
     # interpolation — Spark percentile() == DuckDB quantile_cont) ---------
     def length_quantiles(spark, sf_dir):
@@ -1114,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_asof": events_asof,
         "snm_pairs": snm_pairs,
+        "text_chunks": text_chunks,
         "length_quantiles": length_quantiles,
         "text_unigram_lm": text_unigram_lm,
         "text_bigram_lm": text_bigram_lm,
@@ -1934,6 +1943,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_id, n1 AS r_id, 1 AS nbr_dist FROM leads WHERE n1 IS NOT NULL
             UNION ALL
             SELECT l_id, n2 AS r_id, 2 AS nbr_dist FROM leads WHERE n2 IS NOT NULL
+        """,
+        "text_chunks": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS t
+              FROM documents WHERE trim(text) <> ''),
+            starts AS (
+              SELECT doc_id, t,
+                     unnest(range(0, len(t), 48)) AS s
+              FROM toks)
+            SELECT doc_id,
+                   (s / 48)::BIGINT AS chunk_idx,
+                   least(64, len(t) - s)::BIGINT AS n_tokens,
+                   array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+            FROM starts
         """,
         "length_quantiles": """
             SELECT lang,

@@ -515,3 +515,51 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size token windows with overlap — the chunking step every
+    training-data / retrieval pipeline runs before embedding or packing.
+
+    One chunk per window start ``0, stride, 2*stride, ...`` while the
+    start is inside the document; each chunk is ``chunk_tokens`` tokens
+    (the last may be shorter). Returns (id, chunk_idx, n_tokens,
+    chunk_text). Empty documents produce no chunks.
+
+    Pure column ops, no UDF: the document is tokenized ONCE behind a
+    select boundary (Catalyst does not CSE across output columns —
+    same staging rationale as blocking.py's signatures), window starts
+    come from ``sequence``, and each chunk is a ``slice`` +
+    ``concat_ws``. Narrow until the explode; at 100 TB the fan-out is
+    ~(n_tokens/stride)x rows with NO shuffle anywhere — chunking
+    stays embarrassingly parallel over scan partitions, and Spark can
+    re-split the exploded output by size downstream.
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    t = F.trim(F.col(text_col))
+    toked = df.where(t != "").select(
+        F.col(id_col), F.split(t, r"\s+").alias("_t")
+    )
+    n = F.size(F.col("_t"))
+    last_start = (F.floor((n - 1) / stride) * stride).cast("int")
+    exploded = toked.select(
+        F.col(id_col),
+        F.col("_t"),
+        F.posexplode(F.sequence(F.lit(0), last_start, F.lit(stride))).alias(
+            "chunk_idx", "_s"
+        ),
+    )
+    piece = F.slice(F.col("_t"), F.col("_s") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

@@ -253,3 +253,32 @@ def test_pack_offsets_sharding_is_deterministic(spark):
         for r in rs:
             assert r.start_off == off
             off += r.n_tokens
+
+
+def test_chunk_documents(spark):
+    """Overlapping token windows: stride grid, short tail, single-chunk
+    and empty docs."""
+    from rlr_spark.functions.text import chunk_documents
+
+    toks = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, toks), (2, "a b"), (3, ""), (4, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,3,6,9 -> 4 chunks; last is the 1-token tail
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3]
+    assert c1[0].chunk_text == "t0 t1 t2 t3" and c1[0].n_tokens == 4
+    assert c1[1].chunk_text == "t3 t4 t5 t6"  # stride-3 overlap
+    assert c1[3].chunk_text == "t9" and c1[3].n_tokens == 1
+    # doc 2 fits in one chunk; empty/whitespace docs produce none
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
+    assert 3 not in by_doc and 4 not in by_doc
+    # no shuffle anywhere in the plan
+    from rlr_spark.plans.inspect import physical_plan
+
+    assert "Exchange" not in physical_plan(chunk_documents(df))
