@@ -247,7 +247,8 @@ def encode_png(
     Layouts (mirroring everything :func:`decode_png` claims, so every
     decode path is driven with real bytes):
 
-    - default: (h, w, 3|4) or (h, w) uint8, ``depth=8``
+    - default: (h, w, 2|3|4) or (h, w) uint8, ``depth=8`` (2 channels =
+      grey+alpha, color type 4)
     - ``depth=16``: same shapes, uint16 samples, big-endian
     - ``depth`` 1/2/4: greyscale (h, w) with values in [0, 2^depth)
     - ``palette=(n, 3) uint8``: ``img`` is an (h, w) index raster,
@@ -274,7 +275,10 @@ def encode_png(
             raise ValueError("sub-byte depth is greyscale-only")
         color_type = 0
     elif depth in (8, 16):
-        color_type = {1: 0, 3: 2, 4: 6}[ch]
+        ct_by_ch = {1: 0, 2: 4, 3: 2, 4: 6}  # grey, grey+alpha, RGB, RGBA
+        if ch not in ct_by_ch:
+            raise ValueError(f"unsupported channel count {ch}")
+        color_type = ct_by_ch[ch]
     else:
         raise ValueError(f"bad depth {depth}")
     bpp = max(1, ch * depth // 8)
@@ -507,7 +511,8 @@ def decode_image(payload: bytes) -> "np.ndarray":
     raise NotImplementedError(
         "image codec not available for this format (webp/avif/...); "
         "P6 PPM, PNG (all depths/color types incl. palette and Adam7), "
-        "baseline JPEG, and GIF decode natively"
+        "JPEG (baseline + progressive + multi-scan), and GIF (incl. "
+        "animations) decode natively"
     )
 
 
@@ -618,23 +623,31 @@ def animation_frame_stats(media: DataFrame, max_frames: int = 16) -> DataFrame:
     (media_id, frame_idx) with the frame's delay and channel means —
     the materialized form of :func:`frame_sample_plan`'s timestamp
     grid, for the formats the sandbox can decode. Same shape as every
-    media operator here: Arrow-batched ``mapInPandas``, no shuffle, a
-    malformed payload yields one decoded=false row, never a task
-    failure. ``max_frames`` bounds per-row work — the decoder stops
+    media operator here: Arrow-batched ``mapInPandas``, no shuffle.
+    Payloads without a GIF signature emit NO rows (they are not
+    animations — a 6-byte check, no per-row exception); a payload that
+    claims GIF but is malformed yields one decoded=false row, never a
+    task failure. ``max_frames`` bounds per-row work — the decoder stops
     reading the stream after that many frames, so sampling never pays
     for a long animation's tail."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from rlr_spark.functions.gif import decode_gif_frames
+        from rlr_spark.functions.gif import GIF_MAGICS, decode_gif_frames
 
         cols = [f.name for f in ANIMATION_FRAMES_SCHEMA.fields]
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if b[:6] not in GIF_MAGICS:
+                    # not an animation container at all — emit nothing,
+                    # so decoded=false keeps meaning "malformed
+                    # animation", and non-GIF payloads (the bulk of a
+                    # real media table) skip on a 6-byte check instead
+                    # of paying a Python exception each
+                    continue
                 try:
-                    frames, delays = decode_gif_frames(
-                        bytes(payload), max_frames=max_frames
-                    )
+                    frames, delays = decode_gif_frames(b, max_frames=max_frames)
                     for k in range(frames.shape[0]):
                         m = frames[k].reshape(-1, 3).mean(axis=0)
                         rows.append(

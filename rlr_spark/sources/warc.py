@@ -28,7 +28,7 @@ from __future__ import annotations
 import zlib
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -51,17 +51,40 @@ WARC_SCHEMA = T.StructType(
 # Pure-Python record iteration (runs inside the Arrow batches)
 # ---------------------------------------------------------------------------
 
+_GZ_CHUNK = 1 << 17  # 128 KiB — ~a few compressed records per feed
+
+
 def _iter_gzip_members(blob: bytes) -> Iterator[bytes]:
     """Decompress a concatenation of gzip members one member at a time
-    (the .warc.gz convention — each record its own member)."""
-    rest = blob
-    while rest:
+    (the .warc.gz convention — each record its own member).
+
+    Feeds the decompressor FIXED-SIZE slices of a memoryview instead of
+    the whole remaining tail: a ~1 GiB segment holds ~10^5 members, and
+    handing each member the full tail (then copying ``unused_data``)
+    would memcpy on the order of the file size PER member — quadratic.
+    Here each input byte is decompressed once and the only extra copy
+    is the sub-chunk carry-over at member boundaries (bounded by the
+    chunk size), so the per-file cost stays linear.
+    """
+    mv = memoryview(blob)
+    n = len(blob)
+    off = 0
+    tail = b""  # undecompressed carry-over from the previous member
+    while tail or off < n:
         d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
-        out = d.decompress(rest)
-        if not d.eof:
-            raise ValueError("truncated gzip member in warc file")
-        yield out + d.flush()
-        rest = d.unused_data
+        out = bytearray()
+        while not d.eof:
+            if tail:
+                buf, tail = tail, b""
+            elif off < n:
+                buf = mv[off : off + _GZ_CHUNK]
+                off += len(buf)
+            else:
+                raise ValueError("truncated gzip member in warc file")
+            out += d.decompress(buf)
+        out += d.flush()
+        tail = d.unused_data  # start of the next member (< chunk size)
+        yield bytes(out)
 
 
 def _iter_warc_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
@@ -149,6 +172,44 @@ def _records_of_file(path: str, blob: bytes) -> Iterator[tuple]:
 # Spark reader
 # ---------------------------------------------------------------------------
 
+def records_pdf_gen(
+    warc_types: tuple[str, ...] | None = None,
+    http_status: int | None = None,
+):
+    """The ``mapInPandas`` generator turning (path, content) batches
+    into :data:`WARC_SCHEMA` rows — SHARED by the batch reader and the
+    streaming head (streaming/ingest.stream_warc_pages), so filtering
+    and parse semantics cannot diverge between the two. Both filters
+    apply inside the parse loop, before any Arrow batch is built."""
+    import pandas as pd
+
+    cols = [f.name for f in WARC_SCHEMA.fields]
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                for rec in _records_of_file(p, bytes(blob)):
+                    if warc_types is not None and rec[2] not in warc_types:
+                        continue
+                    if http_status is not None and rec[6] != http_status:
+                        continue
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return gen
+
+
+def warc_timestamp(c: "Column") -> "Column":
+    """WARC-Date -> timestamp. A plain ANSI cast: Spark's ISO-8601
+    parser accepts every form the WARC standards allow (second
+    precision, WARC 1.1 fractional seconds, 'Z' or numeric offsets)
+    and RAISES on malformed input — a fixed to_timestamp pattern would
+    silently NULL any variant it didn't anticipate, poisoning every
+    downstream timestamp dedup/sessionization."""
+    return c.cast("timestamp")
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -166,22 +227,8 @@ def read_warc(
     warc_date, content_type, http_status, http_content_type, payload
     (HTTP body for response records, raw block otherwise).
     """
-    import pandas as pd
-
     files = spark.read.format("binaryFile").load(path).select("path", "content")
-    want = warc_types
-
-    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = [f.name for f in WARC_SCHEMA.fields]
-        for pdf in batches:
-            rows = []
-            for p, blob in zip(pdf["path"], pdf["content"]):
-                for rec in _records_of_file(p, bytes(blob)):
-                    if want is None or rec[2] in want:
-                        rows.append(rec)
-            yield pd.DataFrame(rows, columns=cols)
-
-    return files.mapInPandas(gen, WARC_SCHEMA)
+    return files.mapInPandas(records_pdf_gen(warc_types), WARC_SCHEMA)
 
 
 def read_wet_text(spark: SparkSession, path: str) -> DataFrame:
@@ -209,18 +256,28 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def pages_projection(recs: DataFrame) -> DataFrame:
+    """WARC_SCHEMA records (already response/200-filtered) -> the
+    pipeline's web_pages input shape (url, warc_ts, html). Shared by
+    the batch and streaming heads."""
+    return recs.select(
+        F.col("target_uri").alias("url"),
+        warc_timestamp(F.col("warc_date")).alias("warc_ts"),
+        F.col("payload").alias("html"),
+    )
+
+
 def warc_web_pages(spark: SparkSession, path: str) -> DataFrame:
     """WARC segments -> the pipeline's web_pages input shape
     (url, warc_ts, html) — so ``Pipeline.run(warc_web_pages(spark,
     "s3://crawl/segments/*.warc.gz"))`` is the whole ingestion story.
     ``html`` stays BinaryType end-to-end (the extract stage's
-    byte-identity contract); the WARC-Date header parses as the
-    ISO-8601 instant the standard mandates."""
-    return read_warc_pages(spark, path).select(
-        "url",
-        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").alias("warc_ts"),
-        F.col("payload").alias("html"),
+    byte-identity contract); WARC-Date parses via :func:`warc_timestamp`
+    (any ISO-8601 form, malformed values raise)."""
+    recs = read_warc(spark, path, warc_types=("response",)).where(
+        F.col("http_status") == 200
     )
+    return pages_projection(recs)
 
 
 # ---------------------------------------------------------------------------

@@ -63,9 +63,7 @@ def stream_warc_pages(spark: SparkSession, input_dir: str) -> DataFrame:
     Downstream (``extract_and_key`` -> ``incremental_neardup_stream``)
     is unchanged: this is only a new head for the existing stream.
     """
-    import pandas as pd
-
-    from rlr_spark.sources.warc import WARC_SCHEMA, _records_of_file
+    from rlr_spark.sources.warc import WARC_SCHEMA, pages_projection, records_pdf_gen
 
     # binaryFile's fixed schema, spelled out because streaming sources
     # must not infer (Spark refuses; at scale inference is a listing
@@ -81,23 +79,13 @@ def stream_warc_pages(spark: SparkSession, input_dir: str) -> DataFrame:
         .load(input_dir)
         .select("path", "content")
     )
-
-    def gen(batches):
-        cols = [f.name for f in WARC_SCHEMA.fields]
-        for pdf in batches:
-            rows = []
-            for p, blob in zip(pdf["path"], pdf["content"]):
-                for rec in _records_of_file(p, bytes(blob)):
-                    if rec[2] == "response" and rec[6] == 200:
-                        rows.append(rec)
-            yield pd.DataFrame(rows, columns=cols)
-
-    recs = files.mapInPandas(gen, WARC_SCHEMA)
-    return recs.select(
-        F.col("target_uri").alias("url"),
-        F.to_timestamp(F.col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX").alias("warc_ts"),
-        F.col("payload").alias("html"),
+    # parse generator + projection are THE SAME objects the batch reader
+    # uses (sources/warc.py) — streaming and batch ingestion cannot
+    # silently diverge on filtering, schema, or timestamp parsing
+    recs = files.mapInPandas(
+        records_pdf_gen(warc_types=("response",), http_status=200), WARC_SCHEMA
     )
+    return pages_projection(recs)
 
 
 def extract_and_key(pages: DataFrame) -> DataFrame:

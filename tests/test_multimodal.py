@@ -241,6 +241,15 @@ def test_png_palette_subbyte_16bit_adam7():
         exp = np.repeat((g * (255 // mx))[:, :, None], 3, axis=2)
         assert np.array_equal(got, exp), d
 
+    # grey+alpha (color type 4): grey replicates, alpha dropped — 8/16-bit
+    ga = rng.integers(0, 256, size=(3, 5, 2), dtype=np.uint8)
+    got = decode_png(encode_png(ga, row_filters=[0, 3, 4]))
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+    ga16 = rng.integers(0, 65536, size=(3, 5, 2), dtype=np.uint16)
+    got = decode_png(encode_png(ga16, depth=16, interlace=True))
+    hi = (ga16[:, :, 0] >> 8).astype(np.uint8)
+    assert np.array_equal(got, np.repeat(hi[:, :, None], 3, axis=2))
+
     # 16-bit: grey replicates, RGB passes through, RGBA drops alpha
     for ch in (1, 3, 4):
         shape = (4, 6) if ch == 1 else (4, 6, ch)
@@ -681,6 +690,10 @@ def test_animation_frame_stats_operator(spark):
         (1, "image", bytearray(encode_gif_frames([f0, f1], delays_ms=[40, 80])),
          (6, 4, None, "image/gif")),
         (2, "video", bytearray(b"GIF89a garbage"), (0, 0, None, "image/gif")),
+        # non-GIF payload: not an animation container -> NO rows (6-byte
+        # signature check, not a decode failure)
+        (3, "image", bytearray(b"\x89PNG\r\n\x1a\n not an animation"),
+         (0, 0, None, "image/png")),
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     got = animation_frame_stats(media).collect()
@@ -690,3 +703,4 @@ def test_animation_frame_stats_operator(spark):
     assert (anim[1].mean_r, anim[1].mean_g, anim[1].mean_b) == (100.0, 200.0, 10.0)
     bad = [r for r in got if r.media_id == 2]
     assert len(bad) == 1 and not bad[0].decoded
+    assert not [r for r in got if r.media_id == 3]

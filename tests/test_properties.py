@@ -140,7 +140,8 @@ def test_jpeg_progressive_equals_baseline_property(h, w, seed, quality, sub, ri)
     w=st.integers(1, 20),
     seed=st.integers(0, 2**31 - 1),
     layout=st.sampled_from(
-        ["rgb8", "rgba8", "grey8", "grey16", "rgb16", "pal8", "pal4", "pal1", "grey4"]
+        ["rgb8", "rgba8", "grey8", "ga8", "ga16", "grey16", "rgb16",
+         "pal8", "pal4", "pal1", "grey4"]
     ),
     interlace=st.booleans(),
     filt=st.sampled_from([None, [0], [1], [2], [3], [4], [0, 1, 2, 3, 4]]),
@@ -168,6 +169,14 @@ def test_png_roundtrip_property(h, w, seed, layout, interlace, filt):
         img = rng.integers(0, 256, (h, w), dtype=np.uint8)
         exp = np.repeat(img[:, :, None], 3, axis=2)
         got = decode_png(encode_png(img, **kw))
+    elif layout in ("ga8", "ga16"):  # grey+alpha (color type 4)
+        depth = 8 if layout == "ga8" else 16
+        hi = 256 if depth == 8 else 65536
+        dt = np.uint8 if depth == 8 else np.uint16
+        img = rng.integers(0, hi, (h, w, 2), dtype=dt)
+        g = (img[:, :, 0] if depth == 8 else (img[:, :, 0] >> 8)).astype(np.uint8)
+        exp = np.repeat(g[:, :, None], 3, axis=2)
+        got = decode_png(encode_png(img, depth=depth, **kw))
     elif layout in ("grey16", "rgb16"):
         shape = (h, w) if layout == "grey16" else (h, w, 3)
         img = rng.integers(0, 65536, shape, dtype=np.uint16)

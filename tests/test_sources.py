@@ -206,3 +206,36 @@ def test_warc_malformed_raises(spark, tmp_path):
 
     with _pytest.raises(Exception, match="gzip|truncated"):
         read_warc(spark, gz).collect()
+
+
+def test_warc_date_variants_and_fail_loud(spark, tmp_path):
+    """WARC-Date parses in every ISO-8601 form the standards allow
+    (second precision, WARC 1.1 fractional seconds, numeric offsets);
+    a malformed date RAISES under ANSI cast instead of silently
+    flowing NULL timestamps into the pipeline."""
+    import pytest as _pytest
+
+    from rlr_spark.sources.warc import warc_web_pages, write_warc
+
+    def resp(uri, date):
+        return {"warc_type": "response", "target_uri": uri, "date": date,
+                "http_status": 200, "body": "x",
+                "content_type": "application/http; msgtype=response"}
+
+    ok = str(tmp_path / "ok.warc.gz")
+    write_warc(ok, [
+        resp("https://a/1", "2026-01-01T00:00:00Z"),
+        resp("https://a/2", "2026-01-01T00:00:00.123Z"),
+        resp("https://a/3", "2026-01-01T00:00:00+00:00"),
+        resp("https://a/4", "2026-01-01T05:00:00.123456-05:00"),
+    ])
+    rows = {r.url: r.warc_ts for r in warc_web_pages(spark, ok).collect()}
+    assert all(ts is not None for ts in rows.values())
+    # offset forms normalize to the same instant
+    assert rows["https://a/1"] == rows["https://a/3"]
+    assert rows["https://a/2"].microsecond == 123000
+
+    bad = str(tmp_path / "bad.warc.gz")
+    write_warc(bad, [resp("https://a/5", "not-a-date")])
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+        warc_web_pages(spark, bad).collect()
