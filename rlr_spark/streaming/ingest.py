@@ -176,6 +176,7 @@ def incremental_neardup_stream(
     salt_k: int = 8,
     max_block_size: int | None = 10_000,
     state_buckets: int = 64,
+    entity_state=None,
 ):
     """Streaming near-dup detection: readStream -> foreachBatch
     incremental MinHash-LSH -> verified pairs, bucketed parquet state.
@@ -230,6 +231,12 @@ def incremental_neardup_stream(
     (shingle_k, bands, rows, key-derivation version, state_buckets) and
     a mismatch raises instead of silently missing every cross-epoch
     pair (a bucket-count change would misroute every probe).
+
+    ``entity_state``: an :class:`~rlr_spark.streaming.entities.EntityState`
+    to fold each batch's nodes + verified pairs into — incremental
+    entity resolution riding the same micro-batches (cluster merges
+    across batches land as alias rows; see streaming/entities.py for
+    the crash-window analysis of the composition).
 
     Returns the StreamingQuery; pairs land under ``work_dir + '/pairs'``.
     """
@@ -377,6 +384,19 @@ def incremental_neardup_stream(
         verified = _verify_token_jaccard(
             cand, all_docs, "url", "text", jaccard_threshold
         )
+        if entity_state is not None:
+            # incremental ER composition: fold this batch's nodes+pairs
+            # into the cluster state BEFORE this stream's own writes —
+            # EntityState keeps its own marker and reads exclude its own
+            # partitions, so every crash window replays consistently:
+            # a crash before its marker replays with identical inputs
+            # (docs not yet written -> the batch recomputes byte-equal);
+            # after its marker, the replayed update is a no-op while the
+            # near-dup writes complete
+            verified = verified.localCheckpoint(eager=True)
+            entity_state.update(
+                batch.select(F.col("url").alias("node")), verified, batch_id
+            )
         _overwrite_batch_partition(verified, pairs_dir, batch_id)
         _overwrite_batch_partition(
             new_keys.withColumn("_kb", _key_bucket(F.col("blk_key"))),

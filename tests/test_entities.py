@@ -1,0 +1,155 @@
+"""Incremental entity resolution (streaming/entities.py): per-batch
+cluster maintenance must equal a from-scratch batch CC over everything
+seen, including entity MERGES across batches via the alias table."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rlr_spark.streaming.entities import EntityState
+
+
+def _batch_truth(spark, all_nodes, all_pairs):
+    """(node, entity) the batch pipeline would produce: CC over uids,
+    singletons keep their own uid — the oracle for the incremental path."""
+    from rlr_spark.operators.cluster import connected_components
+
+    nodes = spark.createDataFrame([(n,) for n in sorted(all_nodes)], "node string")
+    if all_pairs:
+        edges = spark.createDataFrame(all_pairs, "l string, r string").select(
+            F.xxhash64("l").alias("u"), F.xxhash64("r").alias("v")
+        )
+        comp = connected_components(edges)
+    else:
+        comp = spark.createDataFrame([], "node long, entity_id long")
+    out = (
+        nodes.withColumn("_uid", F.xxhash64("node"))
+        .join(comp, F.col("_uid") == comp["node"], "left")
+        .select(
+            nodes["node"],
+            F.coalesce(comp["entity_id"], F.col("_uid")).alias("entity"),
+        )
+    )
+    return {r.node: r.entity for r in out.collect()}
+
+
+def _got(state):
+    return {r.node: r.entity for r in state.assignments().collect()}
+
+
+def test_incremental_merges_match_batch_cc(spark, tmp_path):
+    st = EntityState(spark, str(tmp_path / "ents"), buckets=8)
+
+    def upd(bid, nodes, pairs):
+        st.update(
+            spark.createDataFrame([(n,) for n in nodes] or [], "node string"),
+            spark.createDataFrame(pairs or [], "l_id string, r_id string"),
+            bid,
+        )
+
+    # batch 0: a-b merged, c and d singletons
+    upd(0, ["a", "b", "c", "d"], [("a", "b")])
+    seen_nodes, seen_pairs = {"a", "b", "c", "d"}, [("a", "b")]
+    assert _got(st) == _batch_truth(spark, seen_nodes, seen_pairs)
+
+    # batch 1: e arrives; c-d and e-c merge three nodes
+    upd(1, ["e"], [("c", "d"), ("e", "c")])
+    seen_nodes |= {"e"}
+    seen_pairs += [("c", "d"), ("e", "c")]
+    assert _got(st) == _batch_truth(spark, seen_nodes, seen_pairs)
+
+    # batch 2: a single edge BRIDGES the two existing entities — the
+    # merged entity must cover all five nodes via the alias table,
+    # without rewriting any stored member row
+    upd(2, [], [("b", "c")])
+    seen_pairs += [("b", "c")]
+    truth = _batch_truth(spark, seen_nodes, seen_pairs)
+    assert _got(st) == truth
+    assert len(set(truth.values())) == 1  # one entity of five nodes
+
+
+def test_incremental_random_batches_equal_batch_cc(spark, tmp_path):
+    """Randomized: nodes and edges arrive over 5 batches (edges may
+    reference nodes from any earlier batch); the incremental result
+    must equal the from-scratch CC exactly — ids included."""
+    import random
+
+    rng = random.Random(13)
+    all_nodes = [f"n{i:02d}" for i in range(40)]
+    batches = []
+    introduced = []
+    for b in range(5):
+        newly = all_nodes[b * 8 : (b + 1) * 8]
+        introduced += newly
+        pairs = [
+            (rng.choice(introduced), rng.choice(introduced)) for _ in range(6)
+        ]
+        pairs = [(l, r) for l, r in pairs if l != r]
+        batches.append((newly, pairs))
+
+    st = EntityState(spark, str(tmp_path / "ents"), buckets=8)
+    seen_pairs = []
+    for bid, (newly, pairs) in enumerate(batches):
+        st.update(
+            spark.createDataFrame([(n,) for n in newly], "node string"),
+            spark.createDataFrame(pairs or [], "l_id string, r_id string"),
+            bid,
+        )
+        seen_pairs += pairs
+    got = _got(st)
+    assert got == _batch_truth(spark, set(introduced), seen_pairs)
+
+    # replay: a marker-less re-run of the LAST batch (the crash-replay
+    # shape) must leave the result unchanged
+    os.remove(os.path.join(st.applied_dir, "batch_4"))
+    newly, pairs = batches[4]
+    st.update(
+        spark.createDataFrame([(n,) for n in newly], "node string"),
+        spark.createDataFrame(pairs or [], "l_id string, r_id string"),
+        4,
+    )
+    assert _got(st) == got
+
+    # alias compaction flattens chains without changing assignments
+    st.compact_aliases(99)
+    assert _got(st) == got
+    alias = spark.read.parquet(st.alias_dir)
+    heads = {r.old_entity for r in alias.select("old_entity").collect()}
+    tails = {r.new_entity for r in alias.select("new_entity").collect()}
+    assert not (heads & tails)  # depth 1: no root is itself aliased
+
+
+def test_chain_merges_accumulate_aliases(spark, tmp_path):
+    """Worst case for the alias table: every batch merges the existing
+    entity with a new node (a growing chain). Assignments stay correct
+    at each step and compaction collapses the chain."""
+    st = EntityState(spark, str(tmp_path / "ents"), buckets=4)
+    nodes = [f"c{i}" for i in range(7)]
+    st.update(
+        spark.createDataFrame([(nodes[0],)], "node string"),
+        spark.createDataFrame([], "l_id string, r_id string"),
+        0,
+    )
+    pairs = []
+    for i in range(1, 7):
+        pairs.append((nodes[i - 1], nodes[i]))
+        st.update(
+            spark.createDataFrame([(nodes[i],)], "node string"),
+            spark.createDataFrame([pairs[-1]], "l_id string, r_id string"),
+            i,
+        )
+        assert _got(st) == _batch_truth(spark, set(nodes[: i + 1]), pairs)
+    st.compact_aliases(100)
+    assert _got(st) == _batch_truth(spark, set(nodes), pairs)
+
+
+@pytest.mark.parametrize("bad", [0])
+def test_update_is_idempotent_under_marker(spark, tmp_path, bad):
+    st = EntityState(spark, str(tmp_path / "ents"), buckets=4)
+    nodes = spark.createDataFrame([("x",), ("y",)], "node string")
+    pairs = spark.createDataFrame([("x", "y")], "l_id string, r_id string")
+    st.update(nodes, pairs, bad)
+    before = _got(st)
+    st.update(nodes, pairs, bad)  # marker short-circuits
+    assert _got(st) == before

@@ -596,3 +596,61 @@ def test_stream_warc_segments(spark, tmp_path):
     joined = got.select("url", "text").join(batch_text, "url")
     assert joined.count() == 160
     assert joined.where(F.col("text") != F.col("bt")).count() == 0
+
+
+def test_streaming_incremental_entities(spark, tmp_path):
+    """Full incremental-ER composition: the near-dup stream folds each
+    batch's verified pairs into EntityState, and after three file drops
+    — the third BRIDGING two entities formed in earlier batches — the
+    streamed assignments equal a from-scratch CC over all emitted
+    pairs, alias resolution included."""
+    from pyspark.sql import functions as F
+
+    from rlr_spark.operators.cluster import connected_components
+    from rlr_spark.streaming.entities import EntityState
+    from rlr_spark.streaming.ingest import incremental_neardup_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")
+    far = "one two three four five six seven eight nine ten"
+    far_near = far.replace("ten", "eleven")
+    bridge = base.replace("alpha", "omega")  # near both base and near
+
+    def drop(name, rows):
+        spark.createDataFrame(rows, "url string, text string").selectExpr(
+            "url", "cast(null as timestamp) warc_ts", "cast(null as binary) html",
+            "text", "cast(null as string) lang",
+        ).coalesce(1).write.parquet(str(tmp_path / "src" / name))
+
+    drop("f1", [("u1", base), ("u2", far)])
+    drop("f2", [("u3", near), ("u4", far_near)])
+    drop("f3", [("u5", bridge)])
+
+    st = EntityState(spark, str(tmp_path / "ents"), buckets=8)
+    q = incremental_neardup_stream(
+        spark, str(tmp_path / "src") + "/*", str(tmp_path / "work"),
+        jaccard_threshold=0.8, entity_state=st,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    pairs = spark.read.parquet(str(tmp_path / "work") + "/pairs")
+    edges = pairs.select(F.xxhash64("l_id").alias("u"), F.xxhash64("r_id").alias("v"))
+    comp = connected_components(edges)
+    urls = spark.createDataFrame(
+        [(f"u{i}",) for i in range(1, 6)], "node string"
+    )
+    truth = {
+        r.node: r.entity
+        for r in urls.withColumn("_uid", F.xxhash64("node"))
+        .join(comp, F.col("_uid") == comp["node"], "left")
+        .select(urls["node"], F.coalesce(comp["entity_id"], F.col("_uid")).alias("entity"))
+        .collect()
+    }
+    got = {r.node: r.entity for r in st.assignments().collect()}
+    assert got == truth
+    # semantics of the plant: {u1,u3,u5} one entity, {u2,u4} another
+    assert got["u1"] == got["u3"] == got["u5"]
+    assert got["u2"] == got["u4"] != got["u1"]
