@@ -728,6 +728,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("jaccard", 6).alias("jaccard"),
         )
 
+    # -- INCREMENTAL ENTITY RESOLUTION replay: the same 3-batch stream,
+    # now folding each batch's verified pairs into an EntityState
+    # (bucketed assignments + alias chains for cross-batch merges).
+    # Value-checked end to end: the oracle brute-forces the pair set
+    # and runs CC as a recursive walk — the streamed clusters, with
+    # entities re-keyed to their min doc_id, must match exactly -------
+    def stream_entities(spark, sf_dir):
+        import shutil
+        import tempfile
+
+        from rlr_spark.streaming.entities import EntityState
+        from rlr_spark.streaming.ingest import incremental_neardup_stream
+
+        base = os.path.join(
+            tempfile.gettempdir(),
+            f"rlr_stream_ents_{os.path.basename(sf_dir.rstrip('/'))}",
+        )
+        shutil.rmtree(base, ignore_errors=True)
+        src, work = os.path.join(base, "src"), os.path.join(base, "work")
+        d = _t(spark, sf_dir, "documents").select(
+            F.concat(F.lit("u"), F.col("doc_id")).alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            F.lit(None).cast("string").alias("lang"),
+            F.col("doc_id").alias("_b"),
+        )
+        for b in range(3):
+            d.where(F.col("_b") % 3 == b).drop("_b").coalesce(1).write.parquet(
+                f"{src}/b{b}"
+            )
+        st = EntityState(spark, os.path.join(base, "ents"), buckets=16)
+        q = incremental_neardup_stream(
+            spark, src + "/*", work, jaccard_threshold=0.8, entity_state=st
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        st.compact_aliases(10_000)  # oracle also certifies compaction
+        a = st.assignments().select(
+            F.substring("node", 2, 30).cast("long").alias("doc_id"), "entity"
+        )
+        # re-key entities from internal uids to min member doc_id — the
+        # deterministic form a SQL oracle can reproduce
+        rep = a.groupBy("entity").agg(F.min("doc_id").alias("entity_key"))
+        return a.join(rep, "entity").select("doc_id", "entity_key")
+
     # -- IVF with a TRAINED quantizer (1 Lloyd round), value-checked:
     # the oracle reruns the identical round in SQL — first-8 init,
     # strict-> argmax assignment, per-(cell,dim) AVG update, empty cells
@@ -1109,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_substring_dedup": text_substring_dedup,
         "stream_neardup_replay": stream_neardup_replay,
+        "stream_entities": stream_entities,
         "emb_ann_ivf_trained": emb_ann_ivf_trained,
         "dedup_clusters": dedup_clusters,
         "url_dedup": url_dedup,
@@ -1785,6 +1834,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN per p USING (doc_id)
         """,
         "stream_neardup_replay": _BRUTE_JAC_SQL,
+        "stream_entities": f"""
+            WITH RECURSIVE p AS ({_BRUTE_JAC_SQL}),
+            e(src, dst) AS (
+              SELECT l_id, r_id FROM p
+              UNION ALL
+              SELECT r_id, l_id FROM p),
+            walk(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.node
+            )
+            SELECT node AS doc_id, min(comp) AS entity_key
+            FROM walk GROUP BY node
+        """,
         "dedup_clusters": f"""
             -- transitive closure of the brute-force >=0.8 pair set as a
             -- recursive CTE; cluster id = min doc_id, keep = canonical
