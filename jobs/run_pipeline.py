@@ -2,7 +2,11 @@
 
     spark-submit --py-files rlr_spark.zip jobs/run_pipeline.py \
         --input /path/web_pages.parquet --warehouse /path/warehouse \
-        [--iceberg-catalog rlr] [--force] [--config pipeline.json]
+        [--format warc] [--iceberg-catalog rlr] [--force] \
+        [--config pipeline.json]
+
+``--format warc`` accepts a ``.warc.gz`` segment glob (the Common Crawl
+layout) and runs the pipeline straight off the crawl archive.
 
 Reads the input table (Iceberg identifier when --iceberg-catalog is set
 and jars are present, parquet path otherwise), runs/resumes the staged
@@ -26,6 +30,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="web_pages parquet path or table ident")
     ap.add_argument("--warehouse", required=True)
+    ap.add_argument(
+        "--format",
+        default="parquet",
+        choices=["parquet", "warc"],
+        help="input format: parquet web_pages (default) or raw .warc.gz "
+        "segment glob — crawl archives run the pipeline directly",
+    )
     ap.add_argument("--iceberg-catalog", default=None)
     ap.add_argument("--config", default=None, help="JSON file of PipelineConfig fields")
     ap.add_argument("--truth", default=None, help="optional truth parquet for F1")
@@ -44,7 +55,11 @@ def main() -> None:
         with open(args.config) as f:
             cfg = PipelineConfig(**json.load(f))
 
-    if args.iceberg_catalog:
+    if args.format == "warc":
+        from rlr_spark.sources.warc import warc_web_pages
+
+        pages = warc_web_pages(spark, args.input)
+    elif args.iceberg_catalog:
         pages = spark.read.table(args.input)
     else:
         pages = spark.read.parquet(args.input)
