@@ -201,13 +201,21 @@ def records_pdf_gen(
 
 
 def warc_timestamp(c: "Column") -> "Column":
-    """WARC-Date -> timestamp. A plain ANSI cast: Spark's ISO-8601
-    parser accepts every form the WARC standards allow (second
-    precision, WARC 1.1 fractional seconds, 'Z' or numeric offsets)
-    and RAISES on malformed input — a fixed to_timestamp pattern would
-    silently NULL any variant it didn't anticipate, poisoning every
-    downstream timestamp dedup/sessionization."""
-    return c.cast("timestamp")
+    """WARC-Date -> timestamp, fail-loud. Spark's ISO-8601 cast accepts
+    every form the WARC standards allow (second precision, WARC 1.1
+    fractional seconds, 'Z' or numeric offsets) — a fixed to_timestamp
+    pattern would silently NULL any variant it didn't anticipate,
+    poisoning every downstream timestamp dedup/sessionization. The
+    explicit raise_error guard keeps the contract even on clusters
+    running with ``spark.sql.ansi.enabled=false`` (where a bare cast
+    quietly NULLs malformed input)."""
+    ts = F.try_to_timestamp(c)
+    return F.when(c.isNull(), F.lit(None).cast("timestamp")).when(
+        ts.isNull(),
+        F.raise_error(F.concat(F.lit("malformed WARC-Date: "), c)).cast(
+            "timestamp"
+        ),
+    ).otherwise(ts)
 
 
 def read_warc(
@@ -258,12 +266,17 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
 
 def pages_projection(recs: DataFrame) -> DataFrame:
     """WARC_SCHEMA records (already response/200-filtered) -> the
-    pipeline's web_pages input shape (url, warc_ts, html). Shared by
-    the batch and streaming heads."""
+    pipeline's web_pages input shape (url, warc_ts, html, lang).
+    Shared by the batch and streaming heads. ``lang`` is NULL — a raw
+    crawl has no language id yet (it comes from the corpus's own
+    lang-id pass); carrying the column keeps WARC input shape-compatible
+    with every web_pages consumer, including configs that filter on it
+    (NULL lang rows simply don't pass an ``isin`` filter)."""
     return recs.select(
         F.col("target_uri").alias("url"),
         warc_timestamp(F.col("warc_date")).alias("warc_ts"),
         F.col("payload").alias("html"),
+        F.lit(None).cast("string").alias("lang"),
     )
 
 

@@ -58,6 +58,13 @@ def _uid(c: Column) -> Column:
     return F.xxhash64(c)
 
 
+#: the alias partition compaction rewrites into — NEGATIVE so a stream
+#: batch_id (>= 0 always; asserted) can never collide with it: update's
+#: "exclude my own partitions" read would otherwise drop the ENTIRE
+#: compacted alias table in the batch whose id equals a past epoch
+_COMPACTED_PARTITION = -1
+
+
 class EntityState:
     """Incremental cluster-assignment state under ``work_dir``."""
 
@@ -69,35 +76,49 @@ class EntityState:
         self.alias_dir = os.path.join(work_dir, "alias")
         self.applied_dir = os.path.join(work_dir, "_applied")
         os.makedirs(self.applied_dir, exist_ok=True)
+        self._recover_compaction()
 
-    # -- state IO ----------------------------------------------------------
-
-    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
-        if os.path.isdir(path):
-            for _root, _dirs, files in os.walk(path):
-                if any(f.endswith(".parquet") for f in files):
-                    return self.spark.read.parquet(path)
-        return self.spark.createDataFrame([], schema)
+    # -- state IO (shared exactly-once discipline: streaming/state.py) ----
 
     def _assign(self) -> DataFrame:
-        return self._read_or_empty(
-            self.assign_dir, "node string, entity long, _nb int, _batch_id int"
+        from rlr_spark.streaming.state import read_or_empty
+
+        return read_or_empty(
+            self.spark,
+            self.assign_dir,
+            "node string, entity long, _nb int, _batch_id int",
         )
 
     def _alias(self) -> DataFrame:
-        return self._read_or_empty(
-            self.alias_dir, "old_entity long, new_entity long, _batch_id int"
+        from rlr_spark.streaming.state import read_or_empty
+
+        return read_or_empty(
+            self.spark,
+            self.alias_dir,
+            "old_entity long, new_entity long, _batch_id int",
         )
 
     def _overwrite(self, df: DataFrame, path: str, batch_id: int) -> None:
-        part_cols = [c for c in ("_nb",) if c in df.columns] + ["_batch_id"]
-        (
-            df.withColumn("_batch_id", F.lit(int(batch_id)).cast("int"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*part_cols)
-            .parquet(path)
-        )
+        from rlr_spark.streaming.state import overwrite_batch_partition
+
+        overwrite_batch_partition(df, path, batch_id, bucket_cols=("_nb",))
+
+    def _recover_compaction(self) -> None:
+        """Finish or discard a compaction interrupted by a crash — see
+        :meth:`compact_aliases` for the window analysis. Runs at init
+        so a restarted process never reads a half-swapped alias dir."""
+        import shutil
+
+        nxt, old = self.alias_dir + ".next", self.alias_dir + ".old"
+        if not os.path.isdir(self.alias_dir) and os.path.isdir(nxt):
+            # crashed between the two swaps: the new table is complete
+            # (it is written before any swap) — install it
+            os.replace(nxt, self.alias_dir)
+        if os.path.isdir(self.alias_dir):
+            # crashed before the first swap (stale .next) or after the
+            # second (leftover .old): both are safe to discard
+            shutil.rmtree(nxt, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
 
     # -- alias resolution ---------------------------------------------------
 
@@ -109,6 +130,8 @@ class EntityState:
         doubling is a small-table join + one count. Ids strictly
         decrease along chains (min-rule), so no cycles."""
         cur = alias.select("old_entity", F.col("new_entity").alias("root"))
+        if alias.isEmpty():  # the common no-merges-yet path: skip the
+            return cur       # checkpoint/join/count jobs entirely
         for _ in range(max_doubling):
             cur = cur.localCheckpoint(eager=True)
             step = cur.select(
@@ -146,8 +169,11 @@ class EntityState:
         Idempotent per ``batch_id`` (marker + partition overwrite +
         prior-state reads excluding this batch's own partitions).
         """
-        marker = os.path.join(self.applied_dir, f"batch_{batch_id}")
-        if os.path.exists(marker):
+        from rlr_spark.streaming.state import marker_exists, write_marker
+
+        if int(batch_id) < 0:
+            raise ValueError("batch_id must be >= 0 (negative ids are reserved)")
+        if marker_exists(self.applied_dir, f"batch_{batch_id}"):
             return
         B = self.buckets
         bid = int(batch_id)
@@ -229,9 +255,7 @@ class EntityState:
 
         self._overwrite(assign_new, self.assign_dir, bid)
         self._overwrite(alias_new, self.alias_dir, bid)
-        with open(marker + ".tmp", "w") as f:
-            f.write("applied")
-        os.replace(marker + ".tmp", marker)
+        write_marker(self.applied_dir, f"batch_{batch_id}")
 
     # -- read API -------------------------------------------------------------
 
@@ -245,35 +269,48 @@ class EntityState:
             "node", F.coalesce(F.col("root"), F.col("entity")).alias("entity")
         )
 
-    def compact_aliases(self, batch_id: int) -> None:
+    def compact_aliases(self, epoch_id: int) -> None:
         """Epoch maintenance: rewrite the alias table with every chain
-        flattened to its root, as this batch's single partition — reads
-        after compaction resolve in one hop, and the per-batch alias
-        partition listing collapses. Same overwrite+marker discipline
-        (idempotent per batch_id); assign rows are never rewritten."""
-        marker = os.path.join(self.applied_dir, f"compact_{batch_id}")
-        if os.path.exists(marker):
+        flattened to its root — reads after compaction resolve in one
+        hop, and the per-batch alias partition listing collapses.
+        Assign rows are never rewritten.
+
+        The flattened table lands under the RESERVED partition
+        ``_batch_id = -1`` (never a stream batch id, which are >= 0),
+        so a later ``update`` whose batch_id happens to equal a past
+        epoch can't exclude the whole alias table from its prior-state
+        read. ``epoch_id`` only names the idempotency marker.
+
+        Crash-safe swap: the new table is fully written to ``.next``
+        BEFORE any swap; the only window with ``alias/`` missing is
+        between the two renames, where ``.next`` is complete —
+        :meth:`_recover_compaction` (run at init) installs it. A crash
+        earlier leaves ``alias/`` untouched with a stale ``.next`` to
+        discard; a crash after the second rename leaves only ``.old``
+        litter.
+        """
+        import shutil
+
+        from rlr_spark.streaming.state import marker_exists, write_marker
+
+        self._recover_compaction()
+        if marker_exists(self.applied_dir, f"compact_{epoch_id}"):
             return
         alias = self._alias().select("old_entity", "new_entity")
         flat = self._resolve_roots(alias).select(
             "old_entity", F.col("root").alias("new_entity")
         )
-        tmp = self.alias_dir + ".next"
+        nxt, old = self.alias_dir + ".next", self.alias_dir + ".old"
         (
-            flat.withColumn("_batch_id", F.lit(int(batch_id)).cast("int"))
+            flat.withColumn(
+                "_batch_id", F.lit(_COMPACTED_PARTITION).cast("int")
+            )
             .write.mode("overwrite")
             .partitionBy("_batch_id")
-            .parquet(tmp)
+            .parquet(nxt)
         )
-        import shutil
-
-        old = self.alias_dir + ".old"
-        if os.path.isdir(old):
-            shutil.rmtree(old)
         if os.path.isdir(self.alias_dir):
             os.replace(self.alias_dir, old)
-        os.replace(tmp, self.alias_dir)
-        with open(marker + ".tmp", "w") as f:
-            f.write("applied")
-        os.replace(marker + ".tmp", marker)
+        os.replace(nxt, self.alias_dir)
+        write_marker(self.applied_dir, f"compact_{epoch_id}")
         shutil.rmtree(old, ignore_errors=True)

@@ -280,29 +280,22 @@ def incremental_neardup_stream(
     def _key_bucket(c) -> Column:
         return F.pmod(c, F.lit(B)).cast("int")
 
+    # shared exactly-once state discipline (streaming/state.py) — one
+    # copy of the read-probe / dynamic-overwrite / marker machinery for
+    # this stream AND EntityState
+    from rlr_spark.streaming.state import (
+        overwrite_batch_partition as _shared_overwrite,
+    )
+    from rlr_spark.streaming.state import read_or_empty as _shared_read
+    from rlr_spark.streaming.state import write_marker as _write_marker
+
     def _read_or_empty(path: str, schema: str, part_cols: str) -> DataFrame:
-        has_parquet = False
-        if os.path.isdir(path):
-            for _root, _dirs, files in os.walk(path):
-                if any(f.endswith(".parquet") for f in files):
-                    has_parquet = True
-                    break
-        if has_parquet:
-            return spark.read.parquet(path)
-        return spark.createDataFrame([], schema + ", " + part_cols)
+        return _shared_read(spark, path, schema + ", " + part_cols)
 
     def _overwrite_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
-        # dynamic partition overwrite: only the partitions PRESENT in
-        # this dataframe are replaced — a replayed batch rewrites its own
-        # (_*, _batch_id) leaves, other batches' partitions are untouched
-        part_cols = [c for c in ("_kb", "_ub") if c in df.columns] + ["_batch_id"]
-        (
-            df.withColumn("_batch_id", F.lit(int(batch_id)).cast("int"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(*part_cols)
-            .parquet(path)
-        )
+        # only the (_*, _batch_id) leaves PRESENT in df are replaced — a
+        # replayed batch rewrites its own partitions, others untouched
+        _shared_overwrite(df, path, batch_id, bucket_cols=("_kb", "_ub"))
 
     def _buckets_of(df: DataFrame, col) -> list[int]:
         """The distinct state buckets a (tiny, checkpointed) per-batch
@@ -408,9 +401,7 @@ def incremental_neardup_stream(
             docs_dir,
             batch_id,
         )
-        with open(marker + ".tmp", "w") as f:
-            f.write("applied")
-        os.replace(marker + ".tmp", marker)  # atomic: kill-safe
+        _write_marker(applied_dir, f"batch_{batch_id}")  # atomic: kill-safe
 
     return (
         spark.readStream.format("parquet")

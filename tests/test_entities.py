@@ -153,3 +153,71 @@ def test_update_is_idempotent_under_marker(spark, tmp_path, bad):
     before = _got(st)
     st.update(nodes, pairs, bad)  # marker short-circuits
     assert _got(st) == before
+
+
+def test_compaction_crash_windows_and_id_collision(spark, tmp_path):
+    """The two data-loss findings from review, pinned: (a) a crash
+    between compaction's two directory swaps must be recovered at init
+    (the flattened table is installed, nothing lost); (b) a stream
+    batch whose id equals a past compaction epoch must still see the
+    compacted aliases (they live under the reserved -1 partition)."""
+    import shutil
+
+    st = EntityState(spark, str(tmp_path / "ents"), buckets=4)
+    nodes = [f"m{i}" for i in range(5)]
+    pairs = []
+    st.update(
+        spark.createDataFrame([(nodes[0],)], "node string"),
+        spark.createDataFrame([], "l_id string, r_id string"),
+        0,
+    )
+    for i in range(1, 5):
+        pairs.append((nodes[i - 1], nodes[i]))
+        st.update(
+            spark.createDataFrame([(nodes[i],)], "node string"),
+            spark.createDataFrame([pairs[-1]], "l_id string, r_id string"),
+            i,
+        )
+    truth = _batch_truth(spark, set(nodes), pairs)
+    assert _got(st) == truth
+
+    # (a) crash window: alias/ missing, .next complete -> init recovers
+    st.compact_aliases(7)
+    os.replace(st.alias_dir, st.alias_dir + ".next")  # simulate the window
+    st2 = EntityState(spark, str(tmp_path / "ents"), buckets=4)
+    assert os.path.isdir(st2.alias_dir)
+    assert _got(st2) == truth
+    # stale .next while alias/ exists -> discarded at init
+    os.makedirs(st2.alias_dir + ".next", exist_ok=True)
+    st3 = EntityState(spark, str(tmp_path / "ents"), buckets=4)
+    assert not os.path.isdir(st3.alias_dir + ".next")
+    assert _got(st3) == truth
+
+    # (b) update with batch_id == past compaction epoch still resolves
+    # the compacted aliases (epoch partitions are -1, never a batch id)
+    pairs.append((nodes[4], "m5"))
+    st3.update(
+        spark.createDataFrame([("m5",)], "node string"),
+        spark.createDataFrame([pairs[-1]], "l_id string, r_id string"),
+        7,
+    )
+    assert _got(st3) == _batch_truth(spark, set(nodes) | {"m5"}, pairs)
+
+    # negative ids are reserved
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match=">= 0"):
+        st3.update(
+            spark.createDataFrame([("z",)], "node string"),
+            spark.createDataFrame([], "l_id string, r_id string"),
+            -3,
+        )
+
+    # a crashed FIRST write leaving only _temporary litter reads as empty
+    fresh = EntityState(spark, str(tmp_path / "fresh"), buckets=4)
+    os.makedirs(os.path.join(fresh.assign_dir, "_temporary", "0"), exist_ok=True)
+    open(
+        os.path.join(fresh.assign_dir, "_temporary", "0", "part-0.parquet"), "wb"
+    ).write(b"junk")
+    assert fresh.assignments().count() == 0
+    shutil.rmtree(str(tmp_path / "fresh"))

@@ -237,5 +237,5 @@ def test_warc_date_variants_and_fail_loud(spark, tmp_path):
 
     bad = str(tmp_path / "bad.warc.gz")
     write_warc(bad, [resp("https://a/5", "not-a-date")])
-    with _pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+    with _pytest.raises(Exception, match="malformed WARC-Date"):
         warc_web_pages(spark, bad).collect()
