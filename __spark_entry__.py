@@ -484,6 +484,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.coalesce(F.col("entity_id"), F.col("doc_id")).alias("entity_id"),
         )
 
+    # -- survivorship: canonical ("golden") record per entity — the merge
+    # step after clustering: longest text survives (ties -> smallest
+    # doc_id), the modal lang survives (ties -> smallest value) --------
+    def entity_golden(spark, sf_dir):
+        from rlr_spark.operators.cluster import golden_records
+
+        scored = _fs_scored_pairs(spark, sf_dir).localCheckpoint(eager=False)
+        edges = scored.where(F.col("rlr_label") == "Match").select(
+            F.col("l_id").alias("u"), F.col("r_id").alias("v")
+        )
+        assign = connected_components(edges)
+        docs = _t(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars"
+        )
+        full = docs.select("doc_id").join(
+            assign, docs["doc_id"] == assign["node"], "left"
+        ).select(
+            "doc_id",
+            F.coalesce(F.col("entity_id"), F.col("doc_id")).alias("entity_id"),
+        )
+        out = golden_records(
+            full,
+            docs,
+            "doc_id",
+            longest_col="text",
+            length_col="n_chars",
+            mode_cols=("lang",),
+        )
+        return out.select(
+            "entity_key",
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("text_golden"),
+            F.col("lang_golden"),
+        )
+
     # -- hash-seeded ops, now value-checked: each oracle is an independent
     # reimplementation of the SAME deterministic math in DuckDB SQL (md5
     # simhash bits, integer-formula hyperplanes, first-k IVF quantizer),
@@ -1143,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "emb_topk_cosine": emb_topk_cosine,
         "cc_clusters": cc_clusters,
+        "entity_golden": entity_golden,
         "dedup_minhash": dedup_minhash,
         "dedup_prefix_join": dedup_prefix_join,
         "dedup_simhash": dedup_simhash,
@@ -2107,6 +2143,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
                   < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
+        """,
+        "entity_golden": f"""
+            WITH RECURSIVE sc AS ({_FS_SQL}),
+            e(src, dst) AS (
+              SELECT l_id, r_id FROM sc WHERE rlr_label = 'Match'
+              UNION ALL
+              SELECT r_id, l_id FROM sc WHERE rlr_label = 'Match'),
+            walk(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.node
+            ),
+            assign AS (
+              SELECT node AS doc_id, min(comp) AS entity_id
+              FROM walk GROUP BY node),
+            m AS (
+              SELECT a.entity_id, d.doc_id, d.text, d.lang, d.n_chars
+              FROM assign a JOIN documents d USING (doc_id)),
+            lang_counts AS (
+              SELECT entity_id, lang, count(*) AS n
+              FROM m GROUP BY entity_id, lang),
+            lang_mode AS (
+              SELECT entity_id, lang AS lang_golden FROM (
+                SELECT entity_id, lang,
+                       row_number() OVER (PARTITION BY entity_id
+                                          ORDER BY n DESC, lang ASC) AS rk
+                FROM lang_counts) WHERE rk = 1),
+            text_pick AS (
+              SELECT entity_id, text AS text_golden FROM (
+                SELECT entity_id, text,
+                       row_number() OVER (PARTITION BY entity_id
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rk
+                FROM m) WHERE rk = 1)
+            SELECT min(m.doc_id) AS entity_key,
+                   count(*)::BIGINT AS n_members,
+                   any_value(tp.text_golden) AS text_golden,
+                   any_value(lm.lang_golden) AS lang_golden
+            FROM m
+            JOIN lang_mode lm USING (entity_id)
+            JOIN text_pick tp USING (entity_id)
+            GROUP BY m.entity_id
         """,
         "cc_clusters": f"""
             WITH RECURSIVE sc AS ({_FS_SQL}),

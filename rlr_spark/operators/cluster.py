@@ -291,3 +291,66 @@ def cluster_pairs(
             F.col("entity_key"),
         )
     )
+
+
+def golden_records(
+    assign: DataFrame,
+    records: DataFrame,
+    id_col: str,
+    entity_col: str = "entity_id",
+    longest_col: str | None = None,
+    length_col: str | None = None,
+    mode_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Survivorship: one canonical ("golden") row per entity — the merge
+    step that follows clustering in every MDM/ER pipeline (the reference
+    stops at human labels; the canonical-record construction is what
+    those labels feed downstream).
+
+    Deterministic rules, one aggregation, no UDFs:
+
+    - ``entity_key``: min member id (the same canonical-id rule the
+      cluster stage uses),
+    - ``n_members``: cluster size,
+    - ``longest_col``: the value whose ``length_col`` is greatest
+      (ties -> smallest member id) via ``max_by`` over a struct —
+      lexicographic struct comparison keeps it ONE aggregation, not a
+      window + filter re-shuffle,
+    - each of ``mode_cols``: the most frequent value (ties -> smallest
+      value) — a per-column count + one ``max_by`` over (count, value
+      desc) per entity.
+
+    Scale shape: everything is groupBy on the entity key — a single
+    shuffle already partitioned the way the cluster stage's output is
+    produced; mode columns add one explode-free count aggregation per
+    column (low-cardinality values combine map-side).
+    """
+    joined = records.join(assign, id_col)
+    aggs = [
+        F.min(id_col).alias("entity_key"),
+        F.count("*").alias("n_members"),
+    ]
+    if longest_col is not None:
+        if length_col is None:
+            raise ValueError("longest_col needs length_col")
+        aggs.append(
+            F.max_by(
+                F.col(longest_col),
+                F.struct(F.col(length_col), (-F.col(id_col)).alias("_tie")),
+            ).alias(f"{longest_col}_golden")
+        )
+    base = joined.groupBy(entity_col).agg(*aggs)
+    for c in mode_cols:
+        # most frequent value; ties broken toward the SMALLEST value so
+        # the result is set-deterministic (never arrival-order-dependent)
+        counts = joined.groupBy(entity_col, c).agg(F.count("*").alias("_n"))
+        # min_by over (-count, value): minimal -count = the mode; among
+        # tied counts the minimal value wins (strings can't be negated,
+        # so invert the count instead and flip max_by to min_by)
+        mode = counts.groupBy(entity_col).agg(
+            F.min_by(
+                F.col(c), F.struct((-F.col("_n")).alias("_negn"), F.col(c))
+            ).alias(f"{c}_golden")
+        )
+        base = base.join(mode, entity_col)
+    return base

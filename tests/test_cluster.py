@@ -85,3 +85,43 @@ def test_cluster_pairs_string_ids(spark):
     # one entity per node, everyone assigned
     assert out.count() == 5
     assert out.select("url").distinct().count() == 5
+
+
+def test_golden_records_survivorship(spark):
+    """Canonical-record construction: longest value survives (ties ->
+    smallest id), modal value survives (ties -> smallest value), all
+    deterministic — never arrival-order-dependent."""
+    from rlr_spark.operators.cluster import golden_records
+
+    recs = spark.createDataFrame(
+        [
+            # entity A: text lengths 5,9,9 (tie at 9 -> doc 2 wins);
+            # langs en,en,de -> en
+            (1, "short", 5, "en"),
+            (2, "long text", 9, "en"),
+            (3, "LONG TEXT", 9, "de"),
+            # entity B: lang tie fr/de 1-1 -> 'de' (smallest value)
+            (4, "x", 1, "fr"),
+            (5, "xy", 2, "de"),
+            # entity C: singleton
+            (6, "solo", 4, "en"),
+        ],
+        "doc_id long, text string, n_chars long, lang string",
+    )
+    assign = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200), (6, 300)],
+        "doc_id long, entity_id long",
+    )
+    out = {
+        r.entity_id: r
+        for r in golden_records(
+            assign, recs, "doc_id",
+            longest_col="text", length_col="n_chars", mode_cols=("lang",),
+        ).collect()
+    }
+    a, b, c = out[100], out[200], out[300]
+    assert (a.entity_key, a.n_members) == (1, 3)
+    assert a.text_golden == "long text"  # length tie -> smaller doc_id
+    assert a.lang_golden == "en"
+    assert b.text_golden == "xy" and b.lang_golden == "de"  # count tie -> min value
+    assert (c.n_members, c.text_golden, c.lang_golden) == (1, "solo", "en")
