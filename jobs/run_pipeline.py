@@ -58,6 +58,16 @@ def main() -> None:
     if args.format == "warc":
         from rlr_spark.sources.warc import warc_web_pages
 
+        if getattr(cfg, "langs", None):
+            # WARC input has no language id yet (lang is NULL until a
+            # lang-id pass runs); a langs filter would silently drop
+            # EVERY row — refuse loudly instead
+            raise SystemExit(
+                "--format warc is incompatible with a config that sets "
+                "'langs': raw crawl records carry no language id, so the "
+                "filter would produce an empty corpus. Run language id "
+                "downstream, or drop 'langs' from the config."
+            )
         pages = warc_web_pages(spark, args.input)
     elif args.iceberg_catalog:
         pages = spark.read.table(args.input)

@@ -313,9 +313,11 @@ def golden_records(
       cluster stage uses),
     - ``n_members``: cluster size,
     - ``longest_col``: the value whose ``length_col`` is greatest
-      (ties -> smallest member id) via ``max_by`` over a struct —
-      lexicographic struct comparison keeps it ONE aggregation, not a
-      window + filter re-shuffle,
+      (ties -> smallest member id) via ``min_by`` over a
+      (-length, id) struct — lexicographic struct comparison keeps it
+      ONE aggregation (not a window + filter re-shuffle), and negating
+      the numeric LENGTH rather than the id keeps the tie-break valid
+      for string ids (the cluster stage's url-keyed assignments),
     - each of ``mode_cols``: the most frequent value (ties -> smallest
       value) — a per-column count + one ``max_by`` over (count, value
       desc) per entity.
@@ -334,9 +336,12 @@ def golden_records(
         if length_col is None:
             raise ValueError("longest_col needs length_col")
         aggs.append(
-            F.max_by(
+            F.min_by(
                 F.col(longest_col),
-                F.struct(F.col(length_col), (-F.col(id_col)).alias("_tie")),
+                F.struct(
+                    (-F.col(length_col).cast("double")).alias("_neglen"),
+                    F.col(id_col),
+                ),
             ).alias(f"{longest_col}_golden")
         )
     base = joined.groupBy(entity_col).agg(*aggs)

@@ -286,11 +286,26 @@ def warc_web_pages(spark: SparkSession, path: str) -> DataFrame:
     "s3://crawl/segments/*.warc.gz"))`` is the whole ingestion story.
     ``html`` stays BinaryType end-to-end (the extract stage's
     byte-identity contract); WARC-Date parses via :func:`warc_timestamp`
-    (any ISO-8601 form, malformed values raise)."""
+    (any ISO-8601 form, malformed values raise).
+
+    Real crawls carry the same URL in multiple 200-response records
+    (re-fetches; a glob spanning several crawls), and the pipeline
+    requires url-unique input (its uid mint asserts it), so this keeps
+    ONE record per url: the LATEST fetch, ties broken by payload hash —
+    deterministic, never arrival-order-dependent. One groupBy shuffle
+    on url — the partitioning the uid stage wants anyway.
+    """
     recs = read_warc(spark, path, warc_types=("response",)).where(
         F.col("http_status") == 200
     )
-    return pages_projection(recs)
+    pages = pages_projection(recs)
+    picked = pages.groupBy("url").agg(
+        F.max_by(
+            F.struct("warc_ts", "html", "lang"),
+            F.struct(F.col("warc_ts"), F.xxhash64(F.col("html")).alias("_h")),
+        ).alias("_r")
+    )
+    return picked.select("url", "_r.warc_ts", "_r.html", "_r.lang")
 
 
 # ---------------------------------------------------------------------------

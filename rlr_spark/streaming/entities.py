@@ -76,6 +76,27 @@ class EntityState:
         self.alias_dir = os.path.join(work_dir, "alias")
         self.applied_dir = os.path.join(work_dir, "_applied")
         os.makedirs(self.applied_dir, exist_ok=True)
+        # scheme guard (same invariant as the near-dup stream's): the
+        # assign table's _nb partitioning is a function of the bucket
+        # count, so reopening existing state with a different `buckets`
+        # would silently misroute every prior-assignment probe — stale
+        # entities, lost merges, duplicate assign rows. Refuse instead.
+        scheme = f"entities-uid64-B{buckets}"
+        scheme_path = os.path.join(work_dir, "_scheme")
+        if os.path.exists(scheme_path):
+            with open(scheme_path) as f:
+                existing = f.read().strip()
+            if existing != scheme:
+                raise ValueError(
+                    f"entity state at {work_dir} was built with scheme "
+                    f"'{existing}', incompatible with '{scheme}' — probes "
+                    "would miss prior assignments (silently wrong clusters)."
+                    " Rebuild the state or use a fresh work_dir."
+                )
+        else:
+            with open(scheme_path + ".tmp", "w") as f:
+                f.write(scheme)
+            os.replace(scheme_path + ".tmp", scheme_path)
         self._recover_compaction()
 
     # -- state IO (shared exactly-once discipline: streaming/state.py) ----

@@ -251,6 +251,16 @@ def incremental_neardup_stream(
     ckpt_dir = os.path.join(work_dir, "_ckpt")
     applied_dir = os.path.join(ckpt_dir, "_applied")
     os.makedirs(applied_dir, exist_ok=True)
+    if entity_state is not None:
+        # relocate the entity markers INSIDE this stream's checkpoint,
+        # for the same reason this stream's own markers live there: a
+        # wiped/relocated checkpoint renumbers batch_ids from 0, and a
+        # stale marker directory would silently no-op every entity
+        # update for the re-streamed corpus (the updates themselves are
+        # harmless on replayed urls — the anti-join hands them empty
+        # batches — but genuinely new batches must never match old ids)
+        entity_state.applied_dir = os.path.join(ckpt_dir, "_ents_applied")
+        os.makedirs(entity_state.applied_dir, exist_ok=True)
 
     scheme = (
         f"minhash-k{shingle_k}-b{bands}-r{rows_per_band}"

@@ -125,3 +125,28 @@ def test_golden_records_survivorship(spark):
     assert a.lang_golden == "en"
     assert b.text_golden == "xy" and b.lang_golden == "de"  # count tie -> min value
     assert (c.n_members, c.text_golden, c.lang_golden) == (1, "solo", "en")
+
+
+def test_golden_records_string_ids(spark):
+    """The cluster stage's primary assignment shape is url-keyed
+    (strings); the longest-value tie-break must stay valid there —
+    negating a string id crashes under ANSI."""
+    from rlr_spark.operators.cluster import golden_records
+
+    recs = spark.createDataFrame(
+        [("ua", "long text", 9), ("ub", "LONG TEXT", 9), ("uc", "s", 1)],
+        "url string, text string, n_chars long",
+    )
+    assign = spark.createDataFrame(
+        [("ua", "e1"), ("ub", "e1"), ("uc", "e2")],
+        "url string, entity_id string",
+    )
+    out = {
+        r.entity_id: r
+        for r in golden_records(
+            assign, recs, "url", longest_col="text", length_col="n_chars"
+        ).collect()
+    }
+    assert out["e1"].text_golden == "long text"  # tie -> smallest url "ua"
+    assert out["e1"].entity_key == "ua" and out["e1"].n_members == 2
+    assert out["e2"].text_golden == "s"

@@ -221,3 +221,20 @@ def test_compaction_crash_windows_and_id_collision(spark, tmp_path):
     ).write(b"junk")
     assert fresh.assignments().count() == 0
     shutil.rmtree(str(tmp_path / "fresh"))
+
+
+def test_bucket_count_change_refused(spark, tmp_path):
+    """Reopening entity state with a different bucket count would
+    misroute every prior-assignment probe — must raise, never probe."""
+    import pytest as _pytest
+
+    st = EntityState(spark, str(tmp_path / "ents"), buckets=8)
+    st.update(
+        spark.createDataFrame([("a",)], "node string"),
+        spark.createDataFrame([], "l_id string, r_id string"),
+        0,
+    )
+    with _pytest.raises(ValueError, match="scheme"):
+        EntityState(spark, str(tmp_path / "ents"), buckets=16)
+    # same bucket count reopens fine
+    EntityState(spark, str(tmp_path / "ents"), buckets=8)

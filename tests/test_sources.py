@@ -239,3 +239,24 @@ def test_warc_date_variants_and_fail_loud(spark, tmp_path):
     write_warc(bad, [resp("https://a/5", "not-a-date")])
     with _pytest.raises(Exception, match="malformed WARC-Date"):
         warc_web_pages(spark, bad).collect()
+
+
+def test_warc_web_pages_dedups_refetches(spark, tmp_path):
+    """Crawls carry the same URL in several response records; the batch
+    pages adapter keeps exactly one — the latest fetch."""
+    from rlr_spark.sources.warc import warc_web_pages, write_warc
+
+    def resp(uri, date, body):
+        return {"warc_type": "response", "target_uri": uri, "date": date,
+                "http_status": 200, "body": body,
+                "content_type": "application/http; msgtype=response"}
+
+    p = str(tmp_path / "refetch.warc.gz")
+    write_warc(p, [
+        resp("https://a/x", "2026-01-01T00:00:00Z", "old fetch"),
+        resp("https://a/x", "2026-02-01T00:00:00Z", "new fetch"),
+        resp("https://a/y", "2026-01-01T00:00:00Z", "only"),
+    ])
+    rows = {r.url: bytes(r.html) for r in warc_web_pages(spark, p).collect()}
+    assert len(rows) == 2
+    assert rows["https://a/x"] == b"new fetch"
