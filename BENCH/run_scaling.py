@@ -494,12 +494,18 @@ def _floors_md(r: dict) -> str:
     for s in ["extract", "pairs", "score", "cluster"]:
         t1, t4 = r["low"]["stages"][s], r["high"]["stages"][s]
         pred = t1 / 4 + f4[s]
-        c1 = max(t1 - f1[s], 1e-9)
-        c4 = max(t4 - f4[s], 1e-9)
-        eff_c = c1 / 4 / c4
+        c1 = t1 - f1[s]
+        c4 = t4 - f4[s]
+        if c1 <= 0 or c4 <= 0:
+            # stage wall landed at or below its measured floor: the
+            # data-proportional remainder is unmeasurable, and dividing
+            # by a clamped epsilon publishes absurd efficiencies
+            eff_s = "n/a (at floor)"
+        else:
+            eff_s = f"{min(c1 / 4 / c4, 1.0):.2f}"
         rows.append(
             f"| {s} | {t1} | {t4} | {f4[s]} | {pred:.2f} | "
-            f"{min(pred / t4, 1.0):.0%} | {eff_c:.2f} |"
+            f"{min(pred / t4, 1.0):.0%} | {eff_s} |"
         )
     nl = "\n"
     return f"""

@@ -21,7 +21,7 @@ Self-honesty rules (the artifact is the number):
     RLR_BENCH_BIG_PAGES    override big-corpus size (0 disables)
     RLR_BENCH_TRIALS       override trials per section (default 2)
 
-Output: {"metric": "scored_pairs_per_sec", "value": N, "unit": "sec",
+Output: {"metric": "scored_pairs_per_sec", "value": N, "unit": "pairs/sec",
          "queries": {...}, "sf": ..., "pipeline": {...}, "pipeline_big": {...}}
 """
 
@@ -180,7 +180,7 @@ def main() -> None:
             {
                 "metric": "scored_pairs_per_sec",
                 "value": pipeline_best["pairs_per_sec"],
-                "unit": "sec",
+                "unit": "pairs/sec",
                 "queries": query_secs,
                 "sf": sf_name,
                 "pipeline": pipeline_best,

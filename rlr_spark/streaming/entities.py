@@ -190,14 +190,34 @@ class EntityState:
         Idempotent per ``batch_id`` (marker + partition overwrite +
         prior-state reads excluding this batch's own partitions).
         """
-        from rlr_spark.streaming.state import marker_exists, write_marker
+        from rlr_spark.streaming.state import (
+            advance_watermark,
+            guard_renumbered_stream,
+            marker_exists,
+            resolve_effective_batch,
+            write_marker,
+        )
 
         if int(batch_id) < 0:
             raise ValueError("batch_id must be >= 0 (negative ids are reserved)")
-        if marker_exists(self.applied_dir, f"batch_{batch_id}"):
+        # map the checkpoint-scoped id to a state-lifetime-unique one:
+        # markers may be relocated into a streaming checkpoint (see
+        # incremental_neardup_stream) and share its fate, but the
+        # generation token + watermark live in THIS state dir — a wiped
+        # checkpoint starts a new generation whose ids offset past
+        # everything ever applied, so a renumbered stream can never
+        # collide with retained _batch_id partitions (streaming/state.py)
+        bid = resolve_effective_batch(self.work_dir, self.applied_dir, batch_id)
+        if marker_exists(self.applied_dir, f"batch_{bid}"):
+            # re-raise the watermark: a crash BETWEEN the marker write
+            # and the watermark advance replays here, and the watermark
+            # must still catch up (monotonic, so a no-op otherwise)
+            advance_watermark(self.work_dir, bid)
             return
+        # backstop against out-of-band tampering (cannot fire for wipe
+        # or crash-replay scenarios — see guard docstring)
+        guard_renumbered_stream(self.work_dir, self.applied_dir, bid)
         B = self.buckets
-        bid = int(batch_id)
 
         edges = pairs.select(
             F.col(l_col).alias("l"), F.col(r_col).alias("r")
@@ -276,7 +296,8 @@ class EntityState:
 
         self._overwrite(assign_new, self.assign_dir, bid)
         self._overwrite(alias_new, self.alias_dir, bid)
-        write_marker(self.applied_dir, f"batch_{batch_id}")
+        write_marker(self.applied_dir, f"batch_{bid}")
+        advance_watermark(self.work_dir, bid)
 
     # -- read API -------------------------------------------------------------
 

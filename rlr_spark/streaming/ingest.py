@@ -223,8 +223,16 @@ def incremental_neardup_stream(
     renumbers batch_ids from 0) can never match a stale marker against
     brand-new data; (c) new urls are anti-joined against the
     accumulated docs table, so a url recurring in a later input file
-    (or a replay against a wiped checkpoint) never duplicates state or
-    re-emits its pairs.
+    never duplicates state or re-emits its pairs; (d) raw batch ids are
+    only unique per CHECKPOINT, so they're mapped to state-lifetime
+    effective ids via a generation token + max-applied watermark
+    persisted in the state dir — a wiped/relocated checkpoint (ids
+    restart from 0) starts a new generation whose effective ids offset
+    past everything ever applied, so a genuinely-new batch 0 can never
+    dynamic-overwrite old batch 0's retained partitions
+    (:func:`rlr_spark.streaming.state.resolve_effective_batch`; a
+    watermark/marker consistency backstop additionally refuses
+    out-of-band tampering).
 
     The accumulated keys table is tied to the banding scheme AND the
     bucket count: a ``_scheme`` marker in ``work_dir`` records
@@ -293,6 +301,13 @@ def incremental_neardup_stream(
     # shared exactly-once state discipline (streaming/state.py) — one
     # copy of the read-probe / dynamic-overwrite / marker machinery for
     # this stream AND EntityState
+    from rlr_spark.streaming.state import advance_watermark as _advance_wm
+    from rlr_spark.streaming.state import (
+        guard_renumbered_stream as _guard_renumbered,
+    )
+    from rlr_spark.streaming.state import (
+        resolve_effective_batch as _resolve_batch,
+    )
     from rlr_spark.streaming.state import (
         overwrite_batch_partition as _shared_overwrite,
     )
@@ -317,10 +332,20 @@ def incremental_neardup_stream(
             return state  # batch touches every bucket: no filter to push
         return state.where(F.col(bucket_col).isin(buckets))
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
+    def _process(batch_df: DataFrame, raw_batch_id: int) -> None:
+        # map the checkpoint-scoped raw id to a state-lifetime-unique
+        # effective id (survives checkpoint wipes: a new checkpoint
+        # generation offsets past the watermark — streaming/state.py)
+        batch_id = _resolve_batch(work_dir, applied_dir, raw_batch_id)
         marker = os.path.join(applied_dir, f"batch_{batch_id}")
         if os.path.exists(marker):  # fully-applied batch replayed: skip
+            # catch the watermark up — covers a crash between the marker
+            # write and the watermark advance (monotonic, no-op otherwise)
+            _advance_wm(work_dir, batch_id)
             return
+        # backstop against out-of-band tampering (cannot fire for wipe
+        # or crash-replay scenarios — see guard docstring)
+        _guard_renumbered(work_dir, applied_dir, batch_id)
         raw = (
             batch_df.select("url", F.col(text_col).alias("text"))
             # DETERMINISTIC per-url pick (min text), not dropDuplicates:
@@ -412,6 +437,9 @@ def incremental_neardup_stream(
             batch_id,
         )
         _write_marker(applied_dir, f"batch_{batch_id}")  # atomic: kill-safe
+        # watermark lives in the STATE dir (shares fate with keys/docs/
+        # pairs, survives a checkpoint wipe) — see _guard_renumbered
+        _advance_wm(work_dir, batch_id)
 
     return (
         spark.readStream.format("parquet")
@@ -467,6 +495,8 @@ def compact_state(
     import os
     import shutil
 
+    from rlr_spark.streaming.state import applied_watermark
+
     applied_dir = os.path.join(work_dir, "_ckpt", "_applied")
     compact_dir = os.path.join(work_dir, "_compact")
     os.makedirs(compact_dir, exist_ok=True)
@@ -479,6 +509,15 @@ def compact_state(
         if os.path.isdir(applied_dir)
         else set()
     )
+    # markers share fate with the checkpoint; the state-dir watermark
+    # proves application for ids whose markers a checkpoint wipe took
+    # (it only ever advances AFTER a marker write, so a torn final
+    # batch — which must stay unfolded for its replay to overwrite —
+    # is never at/below it)
+    wm = applied_watermark(work_dir)
+
+    def _is_applied(b: int) -> bool:
+        return b in applied or b <= wm
 
     def _partition_dirs(path: str, batch_id: int) -> list[str]:
         out = []
@@ -519,9 +558,7 @@ def compact_state(
             os.remove(marker)
 
         present = _present_ids(path)
-        sources = sorted(
-            b for b in present if b < 0 or b in applied
-        )
+        sources = sorted(b for b in present if b < 0 or _is_applied(b))
         if len(sources) < 2:
             results[t] = {"sources": len(sources), "cid": None}
             continue

@@ -65,3 +65,126 @@ def write_marker(applied_dir: str, name: str) -> None:
     with open(p + ".tmp", "w") as f:
         f.write("applied")
     os.replace(p + ".tmp", p)
+
+
+def _atomic_write(path: str, text: str) -> None:
+    with open(path + ".tmp", "w") as f:
+        f.write(text)
+    os.replace(path + ".tmp", path)
+
+
+def resolve_effective_batch(state_dir: str, applied_dir: str, batch_id: int) -> int:
+    """Map a stream's raw batch_id to an id that is unique across the
+    LIFETIME of the state, surviving checkpoint wipes.
+
+    The per-batch idempotency story (marker + ``_batch_id != bid``
+    prior-state exclusion + dynamic partition overwrite) assumes a
+    replayed id refers to the SAME logical batch. That holds within one
+    streaming checkpoint, but wiping/relocating the checkpoint restarts
+    batch ids from 0 while the state dir still holds partitions under
+    the old ids — a genuinely-new batch 0 would then dynamic-overwrite
+    old batch 0's rows in every (bucket, _batch_id) leaf it touches,
+    and the ``!= 0`` exclusion would hide the old batch's legitimate
+    rows from its own prior-state read.
+
+    Fix (the id-offset scheme): a random generation token is written to
+    BOTH the checkpoint-side marker dir (shares fate with the
+    checkpoint) and the state dir (shares fate with the state). While
+    the tokens agree, raw ids map through a fixed per-generation
+    offset; when they disagree — fresh checkpoint over retained state —
+    a new generation starts with ``offset = watermark + 1``, so every
+    effective id is strictly greater than anything ever applied and can
+    never collide with a retained partition. Replays of the SAME
+    checkpoint keep the same token, hence the same offset, hence
+    byte-identical effective ids — the idempotency story is untouched.
+    Crash between the two token writes (state first, checkpoint second)
+    just re-derives the same offset on restart: nothing was applied in
+    between, so the watermark didn't move.
+
+    The legitimate wiped-checkpoint workflows keep working: replayed
+    old files land under fresh effective ids where the docs anti-join
+    reduces them to empty writes, and genuinely new files get ids past
+    the watermark. Cost: two tiny driver-side file reads per batch.
+    """
+    import uuid
+
+    bid = int(batch_id)
+    state_gen = os.path.join(state_dir, "_gen_offset")
+    ckpt_gen = os.path.join(applied_dir, "_gen")
+    ckpt_tok = None
+    if os.path.exists(ckpt_gen):
+        with open(ckpt_gen) as f:
+            ckpt_tok = f.read().strip()
+    if os.path.exists(state_gen):
+        with open(state_gen) as f:
+            tok, off_txt = f.read().split()
+        if ckpt_tok == tok:
+            return bid + int(off_txt)
+    off = applied_watermark(state_dir) + 1
+    tok = uuid.uuid4().hex
+    _atomic_write(state_gen, f"{tok} {off}")
+    _atomic_write(ckpt_gen, tok)
+    return bid + off
+
+
+def applied_watermark(state_dir: str) -> int:
+    """Highest batch_id ever marked applied for the state under
+    ``state_dir``, or -1.
+
+    Stored as a single ``_watermark`` file (atomic tmp+rename writes)
+    in the STATE dir — deliberately NOT next to the per-batch markers,
+    which live inside the streaming checkpoint: the failure this pair
+    detects is precisely "checkpoint wiped, state retained", so the
+    watermark must share fate with the state, not the checkpoint.
+    Markers answer "was THIS batch applied"; the watermark answers "how
+    far has this state ever advanced" — together they distinguish a
+    legitimate replay (id <= watermark, marker present) from a
+    renumbered stream (id <= watermark, marker MISSING), which happens
+    when the checkpoint is wiped/relocated while the state dir is
+    retained and batch ids restart from 0.
+    """
+    p = os.path.join(state_dir, "_watermark")
+    if os.path.exists(p):
+        with open(p) as f:
+            txt = f.read().strip()
+        return int(txt) if txt else -1
+    return -1
+
+
+def advance_watermark(state_dir: str, batch_id: int) -> None:
+    """Raise the applied watermark to ``batch_id`` (monotonic, atomic)."""
+    if int(batch_id) <= applied_watermark(state_dir):
+        return
+    p = os.path.join(state_dir, "_watermark")
+    with open(p + ".tmp", "w") as f:
+        f.write(str(int(batch_id)))
+    os.replace(p + ".tmp", p)
+
+
+def guard_renumbered_stream(state_dir: str, applied_dir: str, batch_id: int) -> None:
+    """Backstop: refuse an EFFECTIVE batch id at/below the state
+    watermark whose applied marker is missing.
+
+    With :func:`resolve_effective_batch` in front, this cannot fire for
+    any checkpoint-wipe scenario (a new generation's ids start past the
+    watermark) or any crash-replay scenario (a crashed batch never
+    advanced the watermark; a marker-then-crash replay short-circuits
+    on the marker and only catches the watermark up). What remains is
+    state tampered with out-of-band — a hand-deleted marker, a
+    hand-edited watermark, two live streams sharing one state dir —
+    where proceeding would dynamic-overwrite another batch's rows in
+    every touched (bucket, _batch_id) leaf and the ``!= bid`` exclusion
+    would hide that batch's rows from the prior-state read. Corruption
+    beats availability here: refuse loudly.
+    """
+    bid = int(batch_id)
+    wm = applied_watermark(state_dir)
+    if bid <= wm and not marker_exists(applied_dir, f"batch_{bid}"):
+        raise ValueError(
+            f"effective batch_id {bid} is at/below the applied watermark "
+            f"{wm} of state dir {state_dir} but has no applied marker in "
+            f"{applied_dir}: the stream appears to have been renumbered "
+            "behind the generation scheme's back (hand-deleted marker? two "
+            "streams sharing a state dir?). Processing it would overwrite "
+            "unrelated prior-batch state — refusing."
+        )

@@ -101,8 +101,16 @@ def test_incremental_random_batches_equal_batch_cc(spark, tmp_path):
     assert got == _batch_truth(spark, set(introduced), seen_pairs)
 
     # replay: a marker-less re-run of the LAST batch (the crash-replay
-    # shape) must leave the result unchanged
+    # shape) must leave the result unchanged. A real crash during batch
+    # 4 happens BEFORE its marker write, hence before its watermark
+    # advance — rewind the watermark with the marker, or the simulated
+    # state would be the renumbered-stream shape the guard refuses
     os.remove(os.path.join(st.applied_dir, "batch_4"))
+    from rlr_spark.streaming.state import applied_watermark
+
+    wm_path = os.path.join(st.work_dir, "_watermark")
+    with open(wm_path, "w") as f:
+        f.write("3")
     newly, pairs = batches[4]
     st.update(
         spark.createDataFrame([(n,) for n in newly], "node string"),
@@ -110,6 +118,7 @@ def test_incremental_random_batches_equal_batch_cc(spark, tmp_path):
         4,
     )
     assert _got(st) == got
+    assert applied_watermark(st.work_dir) == 4  # replay re-raised it
 
     # alias compaction flattens chains without changing assignments
     st.compact_aliases(99)
@@ -221,6 +230,89 @@ def test_compaction_crash_windows_and_id_collision(spark, tmp_path):
     ).write(b"junk")
     assert fresh.assignments().count() == 0
     shutil.rmtree(str(tmp_path / "fresh"))
+
+
+def test_renumbered_stream_new_generation(spark, tmp_path):
+    """ADVICE r5: a wiped checkpoint over retained state restarts batch
+    ids from 0; a genuinely-new batch would then collide with a
+    retained old ``_batch_id`` — the ``!= bid`` prior-state exclusion
+    would hide the old batch's assignments and the dynamic overwrite
+    would delete its rows in touched leaves. The generation scheme maps
+    the restarted ids onto a fresh range past the state-dir watermark,
+    so the new batch is applied safely and old state is untouched."""
+    import shutil
+
+    from rlr_spark.streaming.state import applied_watermark
+
+    wd = str(tmp_path / "ents")
+    st = EntityState(spark, wd, buckets=4)
+    # markers relocated into a "checkpoint" dir, the composed-stream
+    # shape (incremental_neardup_stream does exactly this relocation)
+    ckpt_markers = str(tmp_path / "ckpt" / "_ents_applied")
+    os.makedirs(ckpt_markers, exist_ok=True)
+    st.applied_dir = ckpt_markers
+
+    def upd(s, bid, nodes, pairs):
+        s.update(
+            spark.createDataFrame([(n,) for n in nodes], "node string"),
+            spark.createDataFrame(pairs or [], "l_id string, r_id string"),
+            bid,
+        )
+
+    upd(st, 0, ["a", "b"], [("a", "b")])
+    upd(st, 1, ["c"], [])
+    assert applied_watermark(wd) == 1  # lives in the STATE dir
+
+    # wipe the checkpoint (markers + generation token gone, state +
+    # watermark retained), reopen, stream renumbers from 0 with NEW
+    # data -> a fresh generation offsets its ids past the watermark:
+    # applied safely, no collision with retained _batch_id partitions
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    st2 = EntityState(spark, wd, buckets=4)
+    os.makedirs(ckpt_markers, exist_ok=True)
+    st2.applied_dir = ckpt_markers
+    upd(st2, 0, ["zz"], [])
+    assert applied_watermark(wd) == 2  # effective id = 0 + (wm 1 + 1)
+    upd(st2, 1, ["d"], [("c", "d")])
+    assert applied_watermark(wd) == 3
+    assert _got(st2) == _batch_truth(
+        spark,
+        {"a", "b", "c", "d", "zz"},
+        [("a", "b"), ("c", "d")],
+    )
+
+
+def test_tampered_state_refused(spark, tmp_path):
+    """The guard backstop: an effective id at/below the watermark whose
+    marker is MISSING cannot arise from a checkpoint wipe (new
+    generation offsets past the watermark) or a crash-replay (a crashed
+    batch never advanced the watermark) — only from out-of-band
+    tampering (hand-deleted marker, two streams sharing a state dir).
+    Refuse loudly; state must be untouched."""
+    from rlr_spark.streaming.state import applied_watermark
+
+    wd = str(tmp_path / "ents")
+    st = EntityState(spark, wd, buckets=4)
+
+    def upd(s, bid, nodes, pairs):
+        s.update(
+            spark.createDataFrame([(n,) for n in nodes], "node string"),
+            spark.createDataFrame(pairs or [], "l_id string, r_id string"),
+            bid,
+        )
+
+    upd(st, 0, ["a", "b"], [("a", "b")])
+    upd(st, 1, ["c"], [])
+    assert applied_watermark(wd) == 1
+
+    # hand-delete batch 1's marker while the watermark stands at 1 —
+    # same generation, so a replay of raw id 1 maps to effective id 1:
+    # at the watermark with no marker -> tampering, refused
+    os.remove(os.path.join(st.applied_dir, "batch_1"))
+    before = _got(st)
+    with pytest.raises(ValueError, match="renumbered"):
+        upd(st, 1, ["zz"], [])
+    assert _got(st) == before  # nothing was overwritten
 
 
 def test_bucket_count_change_refused(spark, tmp_path):

@@ -291,6 +291,11 @@ def test_streaming_torn_write_replays_exactly_once(spark, tmp_path):
     if os.path.exists(crc):
         os.remove(crc)
     os.remove(os.path.join(work, "_ckpt", "_applied", "batch_2"))
+    # a real crash inside batch 2 happens BEFORE the marker write, hence
+    # before the watermark advance — rewind it with the marker, or the
+    # simulated state would be the tampered shape the guard refuses
+    with open(os.path.join(work, "_watermark"), "w") as f:
+        f.write("1")
     for d in glob.glob(os.path.join(work, "docs", "_ub=*", "_batch_id=2")):
         shutil.rmtree(d)
 
@@ -654,3 +659,59 @@ def test_streaming_incremental_entities(spark, tmp_path):
     # semantics of the plant: {u1,u3,u5} one entity, {u2,u4} another
     assert got["u1"] == got["u3"] == got["u5"]
     assert got["u2"] == got["u4"] != got["u1"]
+
+
+def test_streaming_wiped_checkpoint_over_retained_state(spark, tmp_path):
+    """ADVICE r5: wiping the checkpoint while the work dir is retained
+    renumbers batch ids from 0 — a genuinely-new batch 0 would then
+    dynamic-overwrite old batch 0's partitions in every (bucket, 0)
+    leaf it touches. The generation scheme (token in the checkpoint,
+    offset + watermark in the state dir, which shares fate with the
+    state) maps the restarted ids onto a fresh range past the
+    watermark: old partitions are untouched, new AND replayed files
+    apply safely (the docs anti-join reduces replays to no-ops)."""
+    import glob
+    import shutil
+
+    from rlr_spark.streaming.ingest import incremental_neardup_stream
+    from rlr_spark.streaming.state import applied_watermark
+
+    src = str(tmp_path / "wg_src")
+    work = str(tmp_path / "wg_work")
+    _nd_batch(spark, [("u1", "alpha beta gamma delta")]).coalesce(1).write.parquet(
+        src + "/f0"
+    )
+    q = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert applied_watermark(work) == 0  # in the WORK dir, not _ckpt
+
+    # checkpoint wiped (markers + generation token go with it), state
+    # retained; a NEW file lands -> the restarted stream renumbers from
+    # 0 and replays f0 too. A fresh generation offsets all of it past
+    # the watermark; f0's replay anti-joins to nothing.
+    shutil.rmtree(os.path.join(work, "_ckpt"))
+    _nd_batch(spark, [("u9", "totally different words here")]).coalesce(
+        1
+    ).write.parquet(src + "/f1")
+    docs_before = sorted(glob.glob(os.path.join(work, "docs", "**", "*.parquet"),
+                                   recursive=True))
+    q2 = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # old batch 0's docs files are exactly as they were (no overwrite),
+    # and the new url was accumulated under a post-watermark id
+    docs_after = sorted(
+        glob.glob(os.path.join(work, "docs", "**", "*.parquet"), recursive=True)
+    )
+    assert set(docs_before) <= set(docs_after)
+    urls = {
+        r["url"]
+        for r in spark.read.parquet(os.path.join(work, "docs")).collect()
+    }
+    assert urls == {"u1", "u9"}
+    assert applied_watermark(work) >= 1  # advanced past the old range
