@@ -175,10 +175,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from rlr_spark.functions.dedup import (
         exact_dup_groups,
         minhash_dup_pairs,
-        ngram_jaccard,
         simhash_dup_pairs,
     )
-    from rlr_spark.functions.embeddings import brute_force_topk, lsh_topk
+    from rlr_spark.functions.embeddings import brute_force_topk
     from rlr_spark.functions.similarity import levenshtein_sim, token_jaccard
     from rlr_spark.functions.text import (
         bpe_ish_token_count,
@@ -227,14 +226,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("coverage")
         )
 
-    # -- A1: label counts with Unlabeled bucket (rlr.py:341-368) ------------
+    # -- A1+A2: label counts (rlr.py:341-368) + percentages (pages/01:267-
+    # 270) in one row — the count column IS A1's output, so one driver row
+    # value-checks both (registry budget: the driver checks 50 queries) ------
     def a1_label_counts(spark, sf_dir):
         d = _t(spark, sf_dir, "documents").withColumn(
             "rlr_label", F.when(F.col("lang") == "en", F.lit("")).otherwise(F.col("lang"))
         )
         return label_counts(d)
 
-    # -- A2: label percentages (pages/01:267-270) ----------------------------
     def a2_label_percent(spark, sf_dir):
         counts = a1_label_counts(spark, sf_dir)
         total = counts.agg(F.sum("count").alias("t"))
@@ -310,8 +310,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
-    # -- C2: token-Jaccard + Levenshtein similarity vector --------------------
+    # -- C2: the full similarity vector in one row — token-Jaccard +
+    # Levenshtein (JVM codegen) + Jaro-Winkler (batched Arrow pandas UDF;
+    # matches DuckDB's jaro_winkler_similarity exactly — verified). One
+    # driver row value-checks all three comparators (registry budget) --------
     def c2_similarity(spark, sf_dir):
+        from rlr_spark.functions.similarity import jaro_winkler
+
         p = _doc_pairs_same_source(spark, sf_dir).where(
             (F.col("l_id") % 7 == 0) & (F.col("r_id") % 7 == 0)
         )
@@ -322,19 +327,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(
                 levenshtein_sim(F.col("l_text"), F.col("r_text"), max_len=60), 6
             ).alias("lev_sim"),
-        )
-
-    # -- C2b: Jaro-Winkler (batched Arrow pandas UDF; matches DuckDB's
-    #         jaro_winkler_similarity exactly — verified) --------------------
-    def c2_jaro_winkler(spark, sf_dir):
-        from rlr_spark.functions.similarity import jaro_winkler
-
-        p = _doc_pairs_same_source(spark, sf_dir).where(
-            (F.col("l_id") % 7 == 0) & (F.col("r_id") % 7 == 0)
-        )
-        return p.select(
-            "l_id",
-            "r_id",
             F.round(jaro_winkler(F.col("l_text"), F.col("r_text"), cap=64), 6).alias(
                 "jw_sim"
             ),
@@ -344,50 +336,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def c3_fs_score(spark, sf_dir):
         return _fs_scored_pairs(spark, sf_dir)
 
-    # -- N2: next-unlabeled top-1 (pages/02:25-36) ----------------------------
-    def n2_next_unlabeled(spark, sf_dir):
+    # -- N1+N2+N3: all three cursor moves, union-tagged into one driver row
+    # (registry budget) — prev (rlr.py:615-626), next-unlabeled top-1
+    # (pages/02:25-36), goto / point access (rlr.py:627-633) ------------------
+    def nav_cursor(spark, sf_dir):
         d = _t(spark, sf_dir, "documents")
-        return (
+        n1 = (
+            d.where(F.col("doc_id") < 200)
+            .orderBy(F.col("doc_id").desc())
+            .limit(1)
+            .select(
+                F.lit("n1_prev").alias("op"), "doc_id",
+                F.lit("").alias("source"), F.lit("").alias("lang"),
+            )
+        )
+        n2 = (
             d.where((F.col("lang") == "en") & (F.col("doc_id") > 100))
             .orderBy("doc_id")
             .limit(1)
-            .select("doc_id", "lang")
+            .select(
+                F.lit("n2_next").alias("op"), "doc_id",
+                F.lit("").alias("source"), "lang",
+            )
         )
-
-    # -- P1: dense positional pair id (rlr.py:157) ----------------------------
-    def p1_dense_pair_id(spark, sf_dir):
-        orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
-        w = Window.orderBy("o_orderkey")
-        return orders.select(
-            "o_orderkey", (F.row_number().over(w) - 1).alias("pair_id")
+        n3 = d.where(F.col("doc_id") == 123).select(
+            F.lit("n3_goto").alias("op"), "doc_id", "source", "lang"
         )
+        return n1.unionAll(n2).unionAll(n3)
 
-    # -- P2: review-column init defaults (rlr.py:159-165) ---------------------
-    def p2_init_review(spark, sf_dir):
+    # -- P1+P2: dense positional pair id (rlr.py:157) + review-column init
+    # defaults (rlr.py:159-165) over the same frame — one driver row checks
+    # both the window numbering and the init schema (registry budget) --------
+    def p_review_init(spark, sf_dir):
         from rlr_spark.operators.review import init_review_columns
 
         d = init_review_columns(
             _t(spark, sf_dir, "documents").select("doc_id").where(F.col("doc_id") < 50)
         )
+        w = Window.orderBy("doc_id")
         return d.select(
-            "doc_id", "rlr_label", "rlr_label_ind", "rlr_note",
+            "doc_id",
+            (F.row_number().over(w) - 1).alias("pair_id"),
+            "rlr_label", "rlr_label_ind", "rlr_note",
             "rlr_l_id_exists", "rlr_r_id_exists",
         )
-
-    # -- N1: prev cursor move (rlr.py:615-626) --------------------------------
-    def n1_prev_pair(spark, sf_dir):
-        d = _t(spark, sf_dir, "documents")
-        return (
-            d.where(F.col("doc_id") < 200)
-            .orderBy(F.col("doc_id").desc())
-            .limit(1)
-            .select("doc_id")
-        )
-
-    # -- N3: goto / point access (rlr.py:627-633) ------------------------------
-    def n3_goto(spark, sf_dir):
-        d = _t(spark, sf_dir, "documents")
-        return d.where(F.col("doc_id") == 123).select("doc_id", "source", "lang")
 
     # -- U1: bulk label upsert → counts (rlr.py:698-744) ----------------------
     def u1_upsert_labels(spark, sf_dir):
@@ -419,20 +411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n_docs"), F.min("dup_group_min_id").alias("min_rep"))
         )
 
-    # -- dedup: char-3-gram Jaccard over sampled pairs ------------------------
-    def dedup_ngram(spark, sf_dir):
-        p = _doc_pairs_same_source(spark, sf_dir).where(
-            (F.col("l_id") % 11 == 0) & (F.col("r_id") % 11 == 0)
-        )
-        return p.select(
-            "l_id",
-            "r_id",
-            F.round(ngram_jaccard(F.col("l_text"), F.col("r_text"), 3), 6).alias(
-                "ngram_jaccard"
-            ),
-        )
-
-    # -- text analysis ----------------------------------------------------------
+    # -- text analysis: per-doc stats + rolling-hash fingerprint in one row
+    # (char-3-gram Jaccard retired from the registry: prefix-join and
+    # minhash both value-check token-set similarity — registry budget) --------
     def text_stats(spark, sf_dir):
         d = _t(spark, sf_dir, "documents")
         return d.select(
@@ -441,15 +422,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bpe_ish_token_count(F.col("text")).alias("n_bpe"),
             F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
             F.round(stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+            fingerprint(F.col("text")).alias("fp"),
         )
 
     def text_lang_id(spark, sf_dir):
         d = _t(spark, sf_dir, "documents")
         return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
-
-    def text_fingerprint(spark, sf_dir):
-        d = _t(spark, sf_dir, "documents")
-        return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
     # -- embeddings: exact brute-force top-k ------------------------------------
     def emb_topk_cosine(spark, sf_dir):
@@ -557,35 +535,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p = simhash_dup_pairs(d, max_hamming=3, n_tables=4)
         return p.select("l_id", "r_id", F.col("hamming").cast("int").alias("hamming"))
 
-    def emb_ann_ivf(spark, sf_dir):
-        from rlr_spark.functions.embeddings import ivf_topk, train_ivf_centroids
-
-        e = _t(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-        )
-        q = e.where(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        # n_iter=0: quantizer = the k smallest-id vectors, so the oracle
-        # can rebuild the identical quantizer in SQL and value-check the
-        # whole IVF probe path (assignment, n_probe cells, in-cell top-k).
-        # Lloyd training (n_iter>0) is covered by pytest golden tests.
-        centroids = train_ivf_centroids(e, k=8, n_iter=0)
-        return ivf_topk(e, q, centroids, k=5, n_probe=3).select(
-            "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
-        )
-
-    def emb_ann_lsh(spark, sf_dir):
-        e = _t(spark, sf_dir, "embeddings").select(
-            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-        )
-        q = e.where(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("query_id"), "embedding"
-        )
-        dim = len(e.select("embedding").first()[0])
-        return lsh_topk(e, q, dim=dim, k=5, n_planes=4).select(
-            "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
-        )
+    # (registry budget: emb_ann_ivf's untrained n_iter=0 probe is subsumed
+    # by emb_ann_ivf_trained's driver row — same assignment/probe/top-k
+    # path plus Lloyd iterations; lsh_topk's hyperplane bucketing is
+    # value-checked through emb_neardup, which shares the bucket machinery)
 
     # -- embedding-cosine near-dup pairs: hyperplane-LSH-bucketed
     # candidates, exact cosine >= threshold (the semantic-dedup shape:
@@ -960,12 +913,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("node").alias("doc_id"), "n_tri"
         )
 
-    # -- deterministic weighted sample (Efraimidis-Spirakis): quality-
-    # weighted subset as a pure function of (ids, weights, k) -------------
-    def weighted_sample(spark, sf_dir):
+    # -- sampling, union-tagged into one driver row (registry budget):
+    # deterministic weighted sample (Efraimidis-Spirakis top-k, a pure
+    # function of (ids, weights, k)) + deterministic stratified sampling
+    # (md5 hash-gated keep per stratum — reproducible train/dev splits).
+    # The `key` column carries each method's decision value so the hash
+    # check covers the draw itself, not just membership. ------------------
+    def samples(spark, sf_dir):
         from rlr_spark.functions.sampling import weighted_sample as _ws
 
-        return _ws(_t(spark, sf_dir, "documents"), k=100, weight=F.col("n_chars"))
+        d = _t(spark, sf_dir, "documents")
+        ws = _ws(d, k=100, weight=F.col("n_chars")).select(
+            F.lit("weighted").alias("method"),
+            "doc_id",
+            F.col("samp_key").alias("key"),
+        )
+        gate = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 100
+        )
+        rate = F.when(F.col("lang") == "en", F.lit(25)).otherwise(F.lit(75))
+        strat = d.where(gate < rate).select(
+            F.lit("stratified").alias("method"),
+            "doc_id",
+            gate.cast("double").alias("key"),
+        )
+        return ws.unionAll(strat)
 
     # -- BM25 top-k lexical retrieval: the keyword-probe counterpart of
     # the embedding ANN family (corpus audits, contamination spot-checks) --
@@ -1077,34 +1051,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.orderBy(F.desc("n_docs"), "tok").limit(50)
 
-    # -- corpus unigram LM scoring: per-doc average token log-prob under
-    # the corpus unigram distribution — the perplexity-proxy quality
-    # filter of LLM-data pipelines (cheap KenLM stand-in); probability
-    # join on DISTINCT (doc, token) pairs, Zipf head pre-collapsed -----
-    def text_unigram_lm(spark, sf_dir):
-        from rlr_spark.functions.text import unigram_logprob
-
-        return unigram_logprob(_t(spark, sf_dir, "documents"))
-
-    # -- interpolated bigram LM (backoff to the unigram MLE): token
-    # order matters, so vocabulary-plausible gibberish separates out ----
+    # -- interpolated bigram LM (interpolates with the unigram MLE, so
+    # one driver row value-checks BOTH LM surfaces — registry budget;
+    # the standalone unigram scorer keeps its pytest + oracle-tool
+    # coverage): token order matters, so vocabulary-plausible gibberish
+    # separates out -----------------------------------------------------
     def text_bigram_lm(spark, sf_dir):
         from rlr_spark.functions.text import bigram_logprob
 
         return bigram_logprob(_t(spark, sf_dir, "documents"), lam=0.7)
-
-    # -- deterministic stratified sampling: hash-gated keep per stratum
-    # (reproducible train/dev splits; md5-based so the oracle mirrors
-    # the gate bit-exactly — xxhash64 has no DuckDB counterpart) --------
-    def sample_stratified(spark, sf_dir):
-        d = _t(spark, sf_dir, "documents")
-        gate = (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            % 100
-        )
-        rate = F.when(F.col("lang") == "en", F.lit(25)).otherwise(F.lit(75))
-        return d.select("doc_id", "lang").where(gate < rate)
 
     # -- sequence packing (concat-and-chunk): per-doc shard + token
     # offsets + first/last training-sequence index, per-shard windows --
@@ -1151,40 +1106,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "l_id_col string, r_id_col string, n_groups int, n_labels int, cursor int",
         )
 
+    # REGISTRY BUDGET: the driver's correctness harness checks at most
+    # DRIVER_QUERY_BUDGET entries (in dict order). Keep this dict at or
+    # under that size so EVERY registered operator gets a driver-green
+    # row — near-duplicate variants are merged into one row (see the
+    # "registry budget" comments above) or live in extended_queries(),
+    # which tools/check_oracles.py checks with the same methodology.
+    # tests/test_entry.py enforces the cap.
     return {
         "v1_key_uniqueness": v1_key_uniqueness,
         "v3_existence_flags": v3_existence_flags,
         "v4_coverage_ratio": v4_coverage_ratio,
-        "a1_label_counts": a1_label_counts,
         "a2_label_percent": a2_label_percent,
         "a3_completion": a3_completion,
         "j1_pair_record_join": j1_pair_record_join,
         "j2_grouped_projection": j2_grouped_projection,
         "c1_exact_match": c1_exact_match,
         "c2_similarity": c2_similarity,
-        "c2_jaro_winkler": c2_jaro_winkler,
         "c3_fs_score": c3_fs_score,
-        "n2_next_unlabeled": n2_next_unlabeled,
-        "p1_dense_pair_id": p1_dense_pair_id,
-        "p2_init_review": p2_init_review,
-        "n1_prev_pair": n1_prev_pair,
-        "n3_goto": n3_goto,
+        "nav_cursor": nav_cursor,
+        "p_review_init": p_review_init,
         "u1_upsert_labels": u1_upsert_labels,
         "block_domain_paircount": block_domain_paircount,
         "dedup_exact": dedup_exact,
-        "dedup_ngram": dedup_ngram,
         "text_stats": text_stats,
         "text_lang_id": text_lang_id,
-        "text_fingerprint": text_fingerprint,
         "emb_topk_cosine": emb_topk_cosine,
         "cc_clusters": cc_clusters,
         "entity_golden": entity_golden,
         "dedup_minhash": dedup_minhash,
         "dedup_prefix_join": dedup_prefix_join,
         "dedup_simhash": dedup_simhash,
-        "emb_ann_lsh": emb_ann_lsh,
         "emb_neardup": emb_neardup,
-        "emb_ann_ivf": emb_ann_ivf,
         "lr_linkage": lr_linkage,
         "em_weights": em_weights,
         "text_quality": text_quality,
@@ -1202,18 +1155,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": vocab_stats,
         "graph_pagerank": graph_pagerank,
         "graph_triangles": graph_triangles,
-        "weighted_sample": weighted_sample,
+        "samples": samples,
         "bm25_topk": bm25_topk,
         "events_sessionize": events_sessionize,
         "events_asof": events_asof,
         "snm_pairs": snm_pairs,
         "text_chunks": text_chunks,
         "length_quantiles": length_quantiles,
-        "text_unigram_lm": text_unigram_lm,
         "text_bigram_lm": text_bigram_lm,
-        "sample_stratified": sample_stratified,
         "pack_sequences": pack_sequences,
     }
+
+
+# the driver checks this many queries() entries per round; the dict above
+# must never outgrow it (tests/test_entry.py::test_registry_budget)
+DRIVER_QUERY_BUDGET = 50
+
+# entries checked ONLY by tools/check_oracles.py (same three-way
+# methodology, not part of the driver's 50-row budget): distinct
+# algorithms whose registry rows were consolidated into family
+# representatives — they keep full oracle coverage here.
+_EXTENDED = ("dedup_ngram", "text_unigram_lm", "emb_ann_ivf", "emb_ann_lsh")
+
+
+def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from rlr_spark.functions.dedup import ngram_jaccard
+    from rlr_spark.functions.embeddings import lsh_topk
+
+    # -- dedup: char-3-gram Jaccard over sampled pairs ------------------------
+    def dedup_ngram(spark, sf_dir):
+        p = _doc_pairs_same_source(spark, sf_dir).where(
+            (F.col("l_id") % 11 == 0) & (F.col("r_id") % 11 == 0)
+        )
+        return p.select(
+            "l_id",
+            "r_id",
+            F.round(ngram_jaccard(F.col("l_text"), F.col("r_text"), 3), 6).alias(
+                "ngram_jaccard"
+            ),
+        )
+
+    # -- corpus unigram LM scoring: per-doc average token log-prob under
+    # the corpus unigram distribution (standalone; the registry row
+    # text_bigram_lm interpolates with this distribution) ----------------
+    def text_unigram_lm(spark, sf_dir):
+        from rlr_spark.functions.text import unigram_logprob
+
+        return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+    def emb_ann_ivf(spark, sf_dir):
+        from rlr_spark.functions.embeddings import ivf_topk, train_ivf_centroids
+
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        q = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # n_iter=0: quantizer = the k smallest-id vectors, so the oracle
+        # can rebuild the identical quantizer in SQL and value-check the
+        # whole IVF probe path (assignment, n_probe cells, in-cell top-k).
+        centroids = train_ivf_centroids(e, k=8, n_iter=0)
+        return ivf_topk(e, q, centroids, k=5, n_probe=3).select(
+            "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
+        )
+
+    def emb_ann_lsh(spark, sf_dir):
+        e = _t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        q = e.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        dim = len(e.select("embedding").first()[0])
+        return lsh_topk(e, q, dim=dim, k=5, n_planes=4).select(
+            "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
+        )
+
+    return {
+        "dedup_ngram": dedup_ngram,
+        "text_unigram_lm": text_unigram_lm,
+        "emb_ann_ivf": emb_ann_ivf,
+        "emb_ann_lsh": emb_ann_lsh,
+    }
+
+
+def extended_oracle_sql() -> dict[str, str]:
+    full = _oracle_sql_full()
+    return {k: full[k] for k in _EXTENDED}
 
 
 def _pagerank_oracle() -> str:
@@ -1243,10 +1272,21 @@ def _triangles_oracle() -> str:
     )
 
 
-def _weighted_sample_oracle() -> str:
+def _samples_oracle() -> str:
     from rlr_spark.functions.sampling import weighted_sample_sql
 
-    return weighted_sample_sql(k=100, weight_expr="n_chars")
+    ws = weighted_sample_sql(k=100, weight_expr="n_chars")
+    return f"""
+        SELECT 'weighted' AS method, doc_id, samp_key AS key
+        FROM ({ws})
+        UNION ALL
+        SELECT 'stratified' AS method, doc_id,
+               (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100)::DOUBLE
+                 AS key
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+              < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
+    """
 
 
 def _sessionize_oracle() -> str:
@@ -1280,6 +1320,12 @@ def _asof_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    """Driver-facing oracles: exactly the queries() registry entries
+    (the retired-variant oracles live in extended_oracle_sql())."""
+    return {k: v for k, v in _oracle_sql_full().items() if k not in _EXTENDED}
+
+
+def _oracle_sql_full() -> dict[str, str]:
     from rlr_spark.functions.text import fingerprint_sql
 
     # --- shared fragments for the hash-math oracles -------------------------
@@ -1423,12 +1469,6 @@ def oracle_sql() -> dict[str, str]:
               LEFT JOIN (SELECT DISTINCT p_partkey FROM part WHERE p_partkey % 2 = 0) p
                 ON l.l_partkey = p.p_partkey)
         """,
-        "a1_label_counts": """
-            SELECT coalesce(nullif(CASE WHEN lang = 'en' THEN '' ELSE lang END, ''),
-                            'Unlabeled') AS label,
-                   count(*) AS count
-            FROM documents GROUP BY 1
-        """,
         "a2_label_percent": """
             WITH c AS (
               SELECT coalesce(nullif(CASE WHEN lang = 'en' THEN '' ELSE lang END, ''),
@@ -1476,39 +1516,31 @@ def oracle_sql() -> dict[str, str]:
                                                      substr(trim(lower(r_text)), 1, 60))::DOUBLE
                                    / greatest(length(substr(trim(lower(l_text)), 1, 60)),
                                               length(substr(trim(lower(r_text)), 1, 60)))::DOUBLE
-                          END, 6) AS lev_sim
-            FROM pairs WHERE l_id % 7 = 0 AND r_id % 7 = 0
-        """,
-        "c2_jaro_winkler": f"""
-            WITH pairs AS ({_PAIR_SQL})
-            SELECT l_id, r_id,
+                          END, 6) AS lev_sim,
                    round(jaro_winkler_similarity(lower(trim(substr(l_text, 1, 64))),
                                                  lower(trim(substr(r_text, 1, 64)))), 6)
                      AS jw_sim
             FROM pairs WHERE l_id % 7 = 0 AND r_id % 7 = 0
         """,
         "c3_fs_score": _FS_SQL,
-        "n2_next_unlabeled": """
-            SELECT doc_id, lang FROM documents
-            WHERE lang = 'en' AND doc_id > 100
-            ORDER BY doc_id LIMIT 1
+        "nav_cursor": """
+            (SELECT 'n1_prev' AS op, doc_id, '' AS source, '' AS lang
+             FROM documents WHERE doc_id < 200
+             ORDER BY doc_id DESC LIMIT 1)
+            UNION ALL
+            (SELECT 'n2_next' AS op, doc_id, '' AS source, lang
+             FROM documents WHERE lang = 'en' AND doc_id > 100
+             ORDER BY doc_id LIMIT 1)
+            UNION ALL
+            (SELECT 'n3_goto' AS op, doc_id, source, lang
+             FROM documents WHERE doc_id = 123)
         """,
-        "p1_dense_pair_id": """
-            SELECT o_orderkey,
-                   row_number() OVER (ORDER BY o_orderkey) - 1 AS pair_id
-            FROM orders WHERE o_orderkey <= 1000
-        """,
-        "p2_init_review": """
-            SELECT doc_id, '' AS rlr_label, 0 AS rlr_label_ind, '' AS rlr_note,
+        "p_review_init": """
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) - 1 AS pair_id,
+                   '' AS rlr_label, 0 AS rlr_label_ind, '' AS rlr_note,
                    0 AS rlr_l_id_exists, 0 AS rlr_r_id_exists
             FROM documents WHERE doc_id < 50
-        """,
-        "n1_prev_pair": """
-            SELECT doc_id FROM documents WHERE doc_id < 200
-            ORDER BY doc_id DESC LIMIT 1
-        """,
-        "n3_goto": """
-            SELECT doc_id, source, lang FROM documents WHERE doc_id = 123
         """,
         "u1_upsert_labels": """
             SELECT coalesce(nullif(CASE WHEN lang = 'de' THEN 'Match' ELSE '' END, ''),
@@ -1555,14 +1587,12 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN trim(text) = '' OR text IS NULL THEN 0.0
                               ELSE len(list_filter({toks}, t -> list_contains({sw}, t)))::DOUBLE
                                    / len({toks})::DOUBLE
-                          END, 6) AS stopword_ratio
+                          END, 6) AS stopword_ratio,
+                   {fingerprint_sql('text')} AS fp
             FROM documents
         """,
         "text_lang_id": f"""
             SELECT doc_id, {lang_case} AS lang_guess FROM documents
-        """,
-        "text_fingerprint": f"""
-            SELECT doc_id, {fingerprint_sql('text')} AS fp FROM documents
         """,
         "emb_topk_cosine": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
@@ -2027,7 +2057,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_oracle(),
         "bm25_topk": _bm25_oracle(),
         "graph_triangles": _triangles_oracle(),
-        "weighted_sample": _weighted_sample_oracle(),
+        "samples": _samples_oracle(),
         "events_sessionize": _sessionize_oracle(),
         "events_asof": _asof_oracle(),
         "snm_pairs": """
@@ -2138,11 +2168,6 @@ def oracle_sql() -> dict[str, str]:
                    greatest(floor(start_off / 512.0)::BIGINT,
                             floor((start_off + n_tokens - 1) / 512.0)::BIGINT) AS last_seq
             FROM off
-        """,
-        "sample_stratified": """
-            SELECT doc_id, lang FROM documents
-            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
-                  < (CASE WHEN lang = 'en' THEN 25 ELSE 75 END)
         """,
         "entity_golden": f"""
             WITH RECURSIVE sc AS ({_FS_SQL}),

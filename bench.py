@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_prefix_join",
     "text_stats",
-    "text_unigram_lm",
+    "text_bigram_lm",
     "graph_pagerank",
     "bm25_topk",
     "emb_topk_cosine",

@@ -59,8 +59,11 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    # full registry: the driver's 50-row budget PLUS the extended
+    # entries (retired near-duplicate variants) — this tool is the
+    # correctness record for the extended set
+    qs = {**entrymod.queries(), **entrymod.extended_queries()}
+    oracles = {**entrymod.oracle_sql(), **entrymod.extended_oracle_sql()}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
