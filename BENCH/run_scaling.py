@@ -444,6 +444,36 @@ they shrink relative to the data as the corpus grows and would be noise
 at 100 TB. pairs and score carry the data-proportional work.
 {floors_md}
 
+## Round-6 pairs-stage work (measured with BENCH/shuffle_probe.py)
+
+Per-stage shuffle attribution at 300k pages found the pairs stage's
+cost split as: minhash-kernel + sizes stage (~33 s CPU at 1x4), the
+salted self-join (~20 s), and the pair-dedup exchange (~17 s over
+~320 MB / 28M pre-dedup records); fetch wait ~0 everywhere — the stage
+is bandwidth/CPU-bound, not exchange-latency-bound. Three changes:
+
+- duplicate-block fingerprint lanes (3 xxhash64 per keyed row + 24 B
+  per distinct key) are now computed only when the opt-in
+  ``collapse_duplicate_blocks`` consumes them: the sizes exchange
+  dropped 90.8 -> 34.5 MB (-62%) and the 2k-page pairs floor
+  5.3 -> 4.1 s / 6.7 -> 5.6 s (1x4 / 4x4);
+- the salted self-join takes a ``shuffle_hash`` hint (the per-(key,
+  salt) build side is bounded by max_block_size + salting): join-stage
+  CPU 19.9 -> 16.3 s at 1x4 and 33.6 -> 23.1 s at 4x4 — sorting both
+  multi-million-row sides was pure overhead;
+- the Arrow minhash kernel tiles each batch into 1024-row zero-copy
+  slices so all 48 permutation passes run over L2-resident arrays
+  instead of streaming an ~8 MB window array from DRAM 48 times:
+  kernel-stage CPU 29.9 -> 22.7 s at 1x4, 62.4 -> 53.9 s at 4x4
+  (bit-identity with the JVM fold re-verified, incl. multi-tile
+  batches with NULL/empty docs mid-tile).
+
+Net: pairs T1 21.9 -> ~18 s, T4 13.0 -> ~11.4 s vs the round-5 record
+on the same corpus. The residual 4->16-thread CPU inflation (~2x) sits
+at the host's measured in-window bandwidth ceiling (see the
+decomposition table above), which is the documented limit of a
+single-host stand-in for a real 4-node cluster.
+
 Run config: codec={r.get('codec', 'lz4')},
 shuffle_on_tmpfs={r.get('shuffle_tmpfs', False)},
 maxPartitionBytes={r.get('max_partition_bytes', '2m')},
@@ -490,6 +520,20 @@ def _floors_md(r: dict) -> str:
         f4 = fl["levels"]["4"]["stages"]
     except (KeyError, ValueError):
         return ""
+    # the bandwidth ceiling that applies to the HIGH level is measured
+    # by the windows bracketing it (between + after). Probes racing
+    # another tenant produce non-physical values (>1 or near 0) — keep
+    # only sane ones and report the bracket.
+    brackets = []
+    for k in ("between", "after_high"):
+        c = (r.get("membw_windows") or {}).get(k, {}).get("efficiency_ceiling_4x")
+        if c is not None and 0.05 < c <= 1.0:
+            brackets.append(c)
+    ceil_s = (
+        f"{min(brackets):.2f}-{max(brackets):.2f}"
+        if brackets
+        else "n/a (probes disturbed)"
+    )
     rows = []
     for s in ["extract", "pairs", "score", "cluster"]:
         t1, t4 = r["low"]["stages"][s], r["high"]["stages"][s]
@@ -500,12 +544,17 @@ def _floors_md(r: dict) -> str:
             # stage wall landed at or below its measured floor: the
             # data-proportional remainder is unmeasurable, and dividing
             # by a clamped epsilon publishes absurd efficiencies
-            eff_s = "n/a (at floor)"
+            eff_s, at_ceil = "n/a (at floor)", ""
         else:
-            eff_s = f"{min(c1 / 4 / c4, 1.0):.2f}"
+            eff = min(c1 / 4 / c4, 1.0)
+            eff_s = f"{eff:.2f}"
+            # a bandwidth-bound stage cannot beat the machine's in-window
+            # 4->16-thread bandwidth scaling; "at ceiling" is the honest
+            # verdict when eff reaches the bracket
+            at_ceil = "**at ceiling**" if brackets and eff >= min(brackets) else ""
         rows.append(
             f"| {s} | {t1} | {t4} | {f4[s]} | {pred:.2f} | "
-            f"{min(pred / t4, 1.0):.0%} | {eff_s} |"
+            f"{min(pred / t4, 1.0):.0%} | {eff_s} | {at_ceil} |"
         )
     nl = "\n"
     return f"""
@@ -523,9 +572,24 @@ measure on this host; ``% explained`` is how much of the observed 4x
 wall that model accounts for; ``eff (floor-corr)`` is the efficiency of
 the data-proportional remainder.
 
-| stage | T1 (s) | T4 (s) | floor4 (s) | pred 4x (s) | % explained | eff (floor-corr) |
-|---|---|---|---|---|---|---|
+| stage | T1 (s) | T4 (s) | floor4 (s) | pred 4x (s) | % explained | eff (floor-corr) | vs host ceiling |
+|---|---|---|---|---|---|---|---|
 {nl.join(rows)}
+
+In-window 4->16-thread memory-bandwidth ceiling bracketing the
+4-executor level (sane probes only): **{ceil_s}**. Arithmetic intensity
+decides which stages the ceiling bites: score (Arrow Jaro-Winkler /
+Levenshtein — O(len^2) compute per byte moved) is compute-dense and
+floor-corrects to ~0.8-1.0; pairs (hashing + exploded band keys +
+salted self-join + pair dedup — a few ops per byte) is
+bandwidth-bound, and per-stage shuffle attribution
+(BENCH/shuffle_probe.py) shows exactly that signature: near-zero fetch
+wait, zero spill, CPU-seconds inflating ~2x from 4 to 16 concurrent
+threads on this shared host. A stage whose floor-corrected efficiency
+reaches the bracket is scaling as well as THIS MACHINE can move bytes;
+on a real cluster per-node bandwidth is constant as nodes are added,
+which is precisely what the tmpfs-shuffle local-cluster stand-in
+cannot reproduce.
 
 Reading: once the measured per-stage floor is accounted for, the
 data-proportional remainder of the metric stage (score) scales at or

@@ -116,11 +116,28 @@ def _arrow_minhash_kernel(shingle_k: int, bands: int, rows_per_band: int):
     num_perm = bands * rows_per_band
     INIT = np.int64((1 << 63) - 1)
 
+    # CACHE TILING: the permutation loop makes num_perm passes over the
+    # window-identity array; at Arrow's default 10k-row batches that
+    # array is ~8 MB — every pass streams DRAM, and with many
+    # concurrent workers the kernel saturates host memory bandwidth
+    # (measured: stage CPU ~2x from 4 -> 16 threads, zero fetch wait).
+    # Slicing the batch (zero-copy) keeps each slice's windows + temps
+    # L2-resident, so the 48 passes hit cache instead of DRAM.
+    # 1024 rows x ~100 windows x 8 B ~= 0.8 MB per live array.
+    TILE_ROWS = 1024
+
     def gen(batches):
-        for batch in batches:
+        for full_batch in batches:
+            for tile_off in range(0, full_batch.num_rows, TILE_ROWS):
+                batch = full_batch.slice(tile_off, TILE_ROWS)
+                out = _one(batch)
+                if out is not None:
+                    yield out
+
+    def _one(batch):
             n = batch.num_rows
             if n == 0:
-                continue
+                return None
             ids = batch.column(0)
             lst = batch.column(1)
             offs = np.asarray(lst.offsets, dtype=np.int64)
@@ -177,7 +194,7 @@ def _arrow_minhash_kernel(shingle_k: int, bands: int, rows_per_band: int):
                 K[:, b] = h.view(np.int64)
 
             idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
-            yield pa.RecordBatch.from_arrays(
+            return pa.RecordBatch.from_arrays(
                 [ids.take(idx), pa.array(K.reshape(-1))],
                 names=[batch.schema.names[0], "blk_key"],
             )
@@ -378,23 +395,31 @@ def block_pairs(
     # repeated standalone calls don't leak cached relations.
     keyed = keyed.localCheckpoint(eager=False)
 
-    # sizes feeds the stats collect, the kept-keys join, AND the
-    # duplicate-block fingerprints — one groupBy shuffle for all three
+    # sizes feeds the stats collect, the kept-keys join, and (opt-in)
+    # the duplicate-block fingerprints — one groupBy shuffle for all
     # (lazy-checkpointed so it happens once). The fingerprint is an
     # order-insensitive 128-bit member-set id: two independent bit_xor
-    # lanes over per-member hashes, plus the exact count.
+    # lanes over per-member hashes, plus the exact count. The lanes are
+    # computed ONLY when collapse_duplicate_blocks consumes them: they
+    # cost 3 xxhash64 per keyed row plus 24 bytes per distinct key in
+    # this exchange — measured ~60% of the sizes-shuffle bytes — and the
+    # collapse is off by default (see the opt-in note below).
+    fp_aggs = []
+    if collapse_duplicate_blocks:
+        fp_aggs = [
+            F.bit_xor(F.xxhash64(F.col(id_col))).alias("_f1"),
+            F.bit_xor(F.xxhash64(F.col(id_col), F.lit(1))).alias("_f2"),
+            # xor cancels on duplicated (id, key) rows — a multiset
+            # {a,a,b} would xor to {b}'s lanes. The third lane is a SUM
+            # of 32-bit hash values (duplication-sensitive,
+            # overflow-free: 10^4 rows x 2^32 << 2^63), so
+            # duplicate-bearing blocks can't alias duplicate-free ones.
+            F.sum(
+                F.xxhash64(F.col(id_col), F.lit(2)).bitwiseAND(F.lit(0xFFFFFFFF))
+            ).alias("_f3"),
+        ]
     sizes = keyed.groupBy(key_col).agg(
-        F.count("*").alias("_blk_n"),
-        F.bit_xor(F.xxhash64(F.col(id_col))).alias("_f1"),
-        F.bit_xor(F.xxhash64(F.col(id_col), F.lit(1))).alias("_f2"),
-        # xor cancels on duplicated (id, key) rows — a multiset {a,a,b}
-        # would xor to {b}'s lanes. The third lane is a SUM of 32-bit
-        # hash values (duplication-sensitive, overflow-free: 10^4 rows
-        # x 2^32 << 2^63), so duplicate-bearing blocks can't alias
-        # duplicate-free ones.
-        F.sum(
-            F.xxhash64(F.col(id_col), F.lit(2)).bitwiseAND(F.lit(0xFFFFFFFF))
-        ).alias("_f3"),
+        F.count("*").alias("_blk_n"), *fp_aggs
     ).localCheckpoint(eager=False)
     if max_block_size is not None:
         kept_keys = sizes.where(F.col("_blk_n") <= max_block_size)
@@ -466,7 +491,13 @@ def block_pairs(
         ).alias("_salt"),
         *[F.col(c).alias("r_" + c) for c in carry_cols],
     )
-    pairs = left.join(right, [key_col, "_salt"]).where(
+    # SHUFFLE_HASH over sort-merge: the per-(key, salt) build side is
+    # bounded (max_block_size caps members; salting splits hot keys), so
+    # hashing one side beats sorting BOTH sides of a multi-million-row
+    # self-join — the sorts were pure CPU on an exchange this stage pays
+    # anyway, and at 4 executors they sat inside the measured
+    # bandwidth-bound window (BENCH/shuffle_probe.py attribution).
+    pairs = left.hint("shuffle_hash").join(right, [key_col, "_salt"]).where(
         F.col("l_id") < F.col("r_id")
     )
     if pair_filter is not None:

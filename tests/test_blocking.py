@@ -273,10 +273,15 @@ def test_arrow_signature_bit_identical_to_fold(spark):
         ("f", None),
         ("g", "  leading and trailing   spaces  here   "),
     ] + [
+        # > TILE_ROWS rows in one partition so the kernel's zero-copy
+        # cache-tiling slices (round 6) are exercised, including a NULL
+        # and an empty doc landing mid-tile
         (f"x{i}", " ".join(f"tok{(i * 7 + t) % 50}" for t in range(40)))
-        for i in range(100)
+        for i in range(2600)
     ]
-    df = spark.createDataFrame(rows, "id string, text string")
+    rows[1500] = ("mid_null", None)
+    rows[2100] = ("mid_empty", "")
+    df = spark.createDataFrame(rows, "id string, text string").coalesce(1)
     for k, b, r in [(3, 16, 3), (1, 32, 2)]:
         fold = lsh_band_keys(
             df, "id", "text", shingle_k=k, bands=b, rows_per_band=r,
