@@ -318,14 +318,21 @@ def golden_records(
       ONE aggregation (not a window + filter re-shuffle), and negating
       the numeric LENGTH rather than the id keeps the tie-break valid
       for string ids (the cluster stage's url-keyed assignments),
-    - each of ``mode_cols``: the most frequent value (ties -> smallest
-      value) — a per-column count + one ``max_by`` over (count, value
-      desc) per entity.
+    - each of ``mode_cols``: the most frequent non-NULL value (ties ->
+      smallest value) via ``F.mode(col, deterministic=True)`` — the
+      deterministic variant pins exactly our tie rule (lowest value),
+      and as a plain aggregate it rides the SAME groupBy as everything
+      else.
 
-    Scale shape: everything is groupBy on the entity key — a single
-    shuffle already partitioned the way the cluster stage's output is
-    produced; mode columns add one explode-free count aggregation per
-    column (low-cardinality values combine map-side).
+    Scale shape: ONE groupBy on the entity key, no matter how many mode
+    columns golden records carry — round-5 shipped one count-groupBy +
+    one join per mode column (3 extra shuffles per attribute, ruinous
+    for wide golden records); ``mode``'s per-group state is a
+    value->count map bounded by cluster size x per-column cardinality.
+    NULLs: aggregates skip NULL inputs, so a mode column's golden value
+    is the most frequent value among members that HAVE one — an
+    all-NULL column yields NULL (survivorship wants a non-null canonical
+    value whenever any member supplies one).
     """
     joined = records.join(assign, id_col)
     aggs = [
@@ -344,18 +351,8 @@ def golden_records(
                 ),
             ).alias(f"{longest_col}_golden")
         )
-    base = joined.groupBy(entity_col).agg(*aggs)
-    for c in mode_cols:
-        # most frequent value; ties broken toward the SMALLEST value so
-        # the result is set-deterministic (never arrival-order-dependent)
-        counts = joined.groupBy(entity_col, c).agg(F.count("*").alias("_n"))
-        # min_by over (-count, value): minimal -count = the mode; among
-        # tied counts the minimal value wins (strings can't be negated,
-        # so invert the count instead and flip max_by to min_by)
-        mode = counts.groupBy(entity_col).agg(
-            F.min_by(
-                F.col(c), F.struct((-F.col("_n")).alias("_negn"), F.col(c))
-            ).alias(f"{c}_golden")
-        )
-        base = base.join(mode, entity_col)
-    return base
+    aggs.extend(
+        F.mode(F.col(c), deterministic=True).alias(f"{c}_golden")
+        for c in mode_cols
+    )
+    return joined.groupBy(entity_col).agg(*aggs)

@@ -150,3 +150,24 @@ def test_golden_records_string_ids(spark):
     assert out["e1"].text_golden == "long text"  # tie -> smallest url "ua"
     assert out["e1"].entity_key == "ua" and out["e1"].n_members == 2
     assert out["e2"].text_golden == "s"
+
+
+def test_golden_records_mode_skips_nulls(spark):
+    """Mode survivorship ignores NULL member values: the golden value is
+    the most frequent value among members that HAVE one (an all-NULL
+    column stays NULL) — survivorship wants a non-null canonical value
+    whenever any member supplies one."""
+    from rlr_spark.operators.cluster import golden_records
+
+    recs = spark.createDataFrame(
+        [(1, None, None), (2, None, None), (3, "de", None)],
+        "doc_id long, lang string, site string",
+    )
+    assign = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100)], "doc_id long, entity_id long"
+    )
+    row = golden_records(
+        assign, recs, "doc_id", mode_cols=("lang", "site")
+    ).collect()[0]
+    assert row.lang_golden == "de"  # 2 NULLs never outvote one real value
+    assert row.site_golden is None

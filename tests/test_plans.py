@@ -196,3 +196,35 @@ def test_bm25_stats_broadcast_no_shuffle_on_corpus(spark):
     plan = _plan(bm25_topk(df, ["a", "b"], topk=5))
     assert "BroadcastExchange" in plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_golden_records_one_aggregation_for_many_mode_cols(spark):
+    """Survivorship with several mode columns must ride ONE entity-key
+    aggregation (F.mode as a plain agg), not one count-groupBy + join
+    per column — round 5 paid 3 extra shuffles per attribute."""
+    import re
+
+    from rlr_spark.operators.cluster import golden_records
+
+    recs = spark.createDataFrame(
+        [(1, "a", "en", "x", "p")],
+        "doc_id long, text string, lang string, kind string, site string",
+    )
+    assign = spark.createDataFrame([(1, 10)], "doc_id long, entity_id long")
+    def n_exchanges(mode_cols):
+        plan = _plan(
+            golden_records(
+                assign, recs, "doc_id",
+                longest_col="text", length_col="doc_id",
+                mode_cols=mode_cols,
+            )
+        )
+        return len(re.findall(r"Exchange hashpartitioning", plan)), plan
+
+    one, plan1 = n_exchanges(("lang",))
+    three, plan3 = n_exchanges(("lang", "kind", "site"))
+    # the records-to-assignment join contributes its (corpus-sized,
+    # correctly co-partitioned) exchanges either way; mode columns must
+    # ride the ONE entity-key aggregation and add zero exchanges
+    assert three == one, plan3
+    assert "partial_mode(lang" in plan3 and "partial_mode(site" in plan3, plan3
