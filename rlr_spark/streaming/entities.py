@@ -143,17 +143,37 @@ class EntityState:
 
     # -- alias resolution ---------------------------------------------------
 
-    @staticmethod
-    def _resolve_roots(alias: DataFrame, max_doubling: int = 20) -> DataFrame:
+    def _resolve_roots(self, alias: DataFrame, max_doubling: int = 20) -> DataFrame:
         """(old_entity, root) with chains followed to their end — pointer
         doubling, so depth d needs ~log2(d) self-joins. The alias
         relation is merges-sized (small next to the corpus); each
         doubling is a small-table join + one count. Ids strictly
-        decrease along chains (min-rule), so no cycles."""
+        decrease along chains (min-rule), so no cycles.
+
+        COMPACTION CADENCE: every doubling round is a driver-blocking
+        count + localCheckpoint, so per-batch update latency grows with
+        log2(max chain depth since the last :meth:`compact_aliases`).
+        Depth grows at most 1 per batch, and ONLY when a batch re-roots
+        an existing cluster onto a new smaller-UID node (entity ids are
+        xxhash64 uids, so a new node wins the min-rule with probability
+        ~1/cluster-members-seen — random arrival orders grow depth
+        ~log(merges), measured 1-2 rounds across 50 random batches).
+        After r rounds the resolver covers chains of depth 2^r, and
+        compaction flattens everything to depth 1 — so compacting every
+        <= 3 merge-heavy batches guarantees <= 2 rounds even against an
+        adversarial uid-descending arrival order, and an epoch of ~16 is
+        in practice still 1-2 rounds. Measured, both regimes:
+        tests/test_entities.py::test_compaction_cadence_bounds_rounds.
+        The rounds used by the latest resolve are exposed as
+        ``self.last_resolve_rounds`` so deployments can trigger
+        compaction on the measured signal instead of a fixed epoch.
+        """
         cur = alias.select("old_entity", F.col("new_entity").alias("root"))
+        self.last_resolve_rounds = 0
         if alias.isEmpty():  # the common no-merges-yet path: skip the
             return cur       # checkpoint/join/count jobs entirely
         for _ in range(max_doubling):
+            self.last_resolve_rounds += 1
             cur = cur.localCheckpoint(eager=True)
             step = cur.select(
                 F.col("old_entity").alias("o"), F.col("root").alias("r")
