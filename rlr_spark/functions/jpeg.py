@@ -903,6 +903,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     photographs a codec library still wins by orders of magnitude
     (drop one into :func:`decode_image`'s dispatch and this path
     becomes the fallback).
+
+    VALIDATION BOUNDARY (round-5 ADVICE): progressive decoding is
+    verified against this module's own progressive encoder plus
+    baseline-reconstruction identity, and the refinement-bit
+    interleaving was manually checked against T.81 G.1.2 / libjpeg
+    semantics — but no INDEPENDENTLY-produced progressive bytes are
+    exercised, because this container has no other JPEG producer
+    (no PIL/libjpeg/cjpeg/imagemagick/cv2; re-checked round 6). A
+    symmetric convention bug would survive round-trip testing. When
+    independent bytes become available, add them as fixtures with
+    expected pixel hashes next to tests/test_multimodal.py.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
