@@ -115,6 +115,170 @@ def _run_pipeline(spark, pages_df, n_pages: int, trials: int) -> dict:
     return best
 
 
+def _run_streaming_bench(spark, corpus_path: str) -> dict:
+    """Per-batch wall of the incremental near-dup stream as state grows.
+
+    The 100 TB claim for the streaming paths is per-batch-proportional
+    cost: batch i's work must not grow with the VOLUME of the i-1
+    batches of accumulated state. Evidence: fixed-size batches over
+    growing state, one compaction epoch mid-stream — the epoch-opening
+    walls (1x vs 10x accumulated state) must match. The within-epoch
+    slope is reported too: it measures plain-parquet partition-listing
+    growth (leaf dirs ~ buckets x batches), which compaction resets —
+    see the summary-field comment below.
+    """
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from rlr_spark.streaming.ingest import compact_state, incremental_neardup_stream
+
+    n_batches = int(os.environ.get("RLR_BENCH_STREAM_BATCHES", "20"))
+    compact_at = n_batches // 2
+    root = f"/tmp/rlr_bench_stream_{n_batches}"
+    shutil.rmtree(root, ignore_errors=True)
+    staged, src, work = f"{root}/staged", f"{root}/src", f"{root}/work"
+    os.makedirs(src, exist_ok=True)
+
+    # deterministic equal-size batches: one pass over the bench corpus,
+    # hive-partitioned by url-hash bucket (files inside each leaf carry
+    # the stream schema — the partition column is directory-only)
+    corpus = spark.read.parquet(corpus_path)
+    (
+        corpus.withColumn("_b", F.pmod(F.xxhash64("url"), F.lit(n_batches)))
+        .repartition("_b")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    docs_per_batch = corpus.count() // n_batches
+
+    # banding matched to THIS corpus, same as the batch pipeline's
+    # (3-shingles, b16r3): the stream's word-level default (k=1, b32r2)
+    # is tuned for short heterogeneous docs and collides constantly on
+    # template-heavy web pages (measured: 78M candidate pairs at 12k
+    # docs -> superlinear per-batch walls from candidate explosion, not
+    # from state growth)
+    def _stream():
+        return incremental_neardup_stream(
+            spark, src + "/*", work, jaccard_threshold=0.8,
+            shingle_k=3, bands=16, rows_per_band=3,
+        )
+
+    q = _stream()
+    walls, compact_sec = [], None
+    try:
+        for i in range(n_batches):
+            for f in _glob.glob(f"{staged}/_b={i}/*.parquet"):
+                shutil.copy(f, f"{src}/b{i:03d}_{os.path.basename(f)}")
+            t0 = time.time()
+            q.processAllAvailable()
+            walls.append(round(time.time() - t0, 3))
+            if i + 1 == compact_at:
+                # epoch compaction: stop, fold applied batch partitions,
+                # restart against the same checkpoint
+                q.stop()
+                t0 = time.time()
+                compact_state(spark, work)
+                compact_sec = round(time.time() - t0, 3)
+                q = _stream()
+    finally:
+        q.stop()
+    pairs_dir = os.path.join(work, "pairs")
+    n_pairs = (
+        spark.read.parquet(pairs_dir).count()
+        if os.path.isdir(pairs_dir)
+        else 0
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    # The per-batch-proportional claim is about STATE VOLUME: compare
+    # the epoch-opening batches — batch 0 runs against ~1 batch of
+    # state, the first post-compaction batch against compact_at
+    # batches' worth (10x the data) — they must match. Within an epoch
+    # walls DO grow ~linearly with the batch count: that is parquet
+    # partition-LISTING cost (every batch adds bucket x batch_id leaf
+    # dirs), demonstrably reset by compaction, not data-volume growth;
+    # Iceberg metadata makes it a non-issue at production scale and the
+    # slope + compaction cost here quantify the plain-parquet cadence
+    # trade (optimal epoch ~ sqrt(2*compact_sec/slope)).
+    epoch1, epoch2 = walls[:compact_at], walls[compact_at:]
+    open1 = sum(epoch1[:2]) / 2
+    open2 = sum(epoch2[:2]) / 2 if len(epoch2) >= 2 else None
+    slope = (
+        round((epoch1[-1] - epoch1[1]) / max(len(epoch1) - 2, 1), 2)
+        if len(epoch1) >= 3
+        else None
+    )
+    return {
+        "docs_per_batch": docs_per_batch,
+        "n_batches": n_batches,
+        "batch_sec": walls,
+        "compact_at_batch": compact_at,
+        "compact_sec": compact_sec,
+        "epoch_open_sec_first": round(open1, 2),
+        "epoch_open_sec_after_compaction": round(open2, 2) if open2 else None,
+        "state_batches_at_reopen": compact_at,
+        "listing_growth_sec_per_batch": slope,
+        "total_pairs": n_pairs,
+        "docs_per_sec_epoch_open": round(docs_per_batch / open1, 1),
+    }
+
+
+def _run_warc_bench(spark, trials: int) -> dict:
+    """WARC ingestion throughput: synthetic multi-segment .warc.gz corpus
+    -> warc_web_pages scan (binaryFile + mapInPandas gzip-member
+    streaming), MB/s and records/s. File-level parallelism is the
+    industry decomposition; this measures the per-byte cost of the
+    linear member streamer at bench scale."""
+    from rlr_spark.sources.warc import warc_web_pages, write_warc
+
+    n_segments = int(os.environ.get("RLR_BENCH_WARC_SEGMENTS", "8"))
+    rec_per_seg = int(os.environ.get("RLR_BENCH_WARC_RECORDS", "12500"))
+    root = f"/tmp/rlr_bench_warc_{n_segments}x{rec_per_seg}"
+    if not os.path.isdir(root):
+        os.makedirs(root, exist_ok=True)
+        for s in range(n_segments):
+            recs = []
+            for i in range(rec_per_seg):
+                k = s * rec_per_seg + i
+                body = (
+                    f"<html><head><title>doc {k}</title></head><body>"
+                    + f"<p>segment {s} record {i} "
+                    + ("token%d " % (k % 997)) * 60
+                    + "</p></body></html>"
+                )
+                recs.append(
+                    {
+                        "warc_type": "response",
+                        "target_uri": f"https://bench.example.org/s{s}/p{i}",
+                        "date": "2024-01-01T00:00:00Z",
+                        "body": body,
+                    }
+                )
+            write_warc(f"{root}/segment-{s:02d}.warc.gz", recs, compress=True)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(root, f)) for f in os.listdir(root)
+    )
+    n_records = n_segments * rec_per_seg
+    best = None
+    for _ in range(trials):
+        t0 = time.time()
+        warc_web_pages(spark, root + "/*.warc.gz").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        wall = time.time() - t0
+        best = wall if best is None else min(best, wall)
+    return {
+        "segments": n_segments,
+        "records": n_records,
+        "compressed_mb": round(total_bytes / 1e6, 1),
+        "scan_sec": round(best, 3),
+        "mb_per_sec": round(total_bytes / 1e6 / best, 1),
+        "records_per_sec": round(n_records / best, 1),
+        "records_per_sec_per_core": round(n_records / best / CPUS, 1),
+    }
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from rlr_spark.session import get_spark
@@ -175,6 +339,14 @@ def main() -> None:
         pipeline_big = _run_pipeline(spark, big, BIG_PAGES, TRIALS)
         query_secs["pipeline_big"] = pipeline_big["wall_sec"]
 
+    # --- streaming + WARC ingestion (round-6: measured, not claimed) -------
+    streaming = None
+    if os.environ.get("RLR_BENCH_STREAMING", "1") == "1" and BIG_PAGES:
+        streaming = _run_streaming_bench(spark, _corpus(BIG_PAGES))
+    warc = None
+    if os.environ.get("RLR_BENCH_WARC", "1") == "1":
+        warc = _run_warc_bench(spark, TRIALS)
+
     print(
         json.dumps(
             {
@@ -185,6 +357,8 @@ def main() -> None:
                 "sf": sf_name,
                 "pipeline": pipeline_best,
                 **({"pipeline_big": pipeline_big} if pipeline_big else {}),
+                **({"streaming": streaming} if streaming else {}),
+                **({"warc_ingest": warc} if warc else {}),
             }
         )
     )
