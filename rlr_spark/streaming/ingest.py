@@ -177,6 +177,7 @@ def incremental_neardup_stream(
     max_block_size: int | None = 10_000,
     state_buckets: int = 64,
     entity_state=None,
+    compact_every: int | None = None,
 ):
     """Streaming near-dup detection: readStream -> foreachBatch
     incremental MinHash-LSH -> verified pairs, bucketed parquet state.
@@ -223,7 +224,13 @@ def incremental_neardup_stream(
     renumbers batch_ids from 0) can never match a stale marker against
     brand-new data; (c) new urls are anti-joined against the
     accumulated docs table, so a url recurring in a later input file
-    never duplicates state or re-emits its pairs; (d) raw batch ids are
+    never duplicates state or re-emits its pairs; (d) with
+    ``compact_every=N`` the stream folds its per-batch state partitions
+    via :func:`compact_state` from inside ``foreachBatch`` whenever N
+    live batch partitions accumulate — the production cadence for plain
+    parquet, whose directory listing otherwise grows with batch count
+    (measured ~1.5 s/batch at 64 buckets; Iceberg metadata removes the
+    cost entirely); (e) raw batch ids are
     only unique per CHECKPOINT, so they're mapped to state-lifetime
     effective ids via a generation token + max-applied watermark
     persisted in the state dir — a wiped/relocated checkpoint (ids
@@ -259,6 +266,10 @@ def incremental_neardup_stream(
     ckpt_dir = os.path.join(work_dir, "_ckpt")
     applied_dir = os.path.join(ckpt_dir, "_applied")
     os.makedirs(applied_dir, exist_ok=True)
+    # a compaction that crashed between its fold commit and its
+    # done-marker flip left BOTH the fold and its sources on disk —
+    # resolve that before the first probe reads doubled state
+    recover_compaction(work_dir)
     if entity_state is not None:
         # relocate the entity markers INSIDE this stream's checkpoint,
         # for the same reason this stream's own markers live there: a
@@ -440,6 +451,25 @@ def incremental_neardup_stream(
         # watermark lives in the STATE dir (shares fate with keys/docs/
         # pairs, survives a checkpoint wipe) — see _guard_renumbered
         _advance_wm(work_dir, batch_id)
+        # AUTO-COMPACTION (opt-in): per-batch partitions make the
+        # parquet listing grow ~linearly with batch count (measured
+        # ~1.5 s/batch at 64 buckets — bench.py streaming section);
+        # fold once the live batch-partition count reaches the epoch.
+        # Safe HERE because foreachBatch is synchronous: the next
+        # micro-batch cannot start until this returns, so the
+        # source-batch set cannot move under the fold (the same
+        # stopped-query precondition compact_state documents). This
+        # batch's OWN partitions are applied (marker just written), so
+        # they fold too; a crash mid-fold is covered by the pending/
+        # done marker protocol + recover_compaction at restart.
+        if compact_every:
+            live = set()
+            for _root, _dirs, _ in os.walk(keys_dir):
+                for d in _dirs:
+                    if d.startswith("_batch_id=") and int(d.split("=")[1]) >= 0:
+                        live.add(int(d.split("=")[1]))
+            if len(live) >= compact_every:
+                compact_state(batch_df.sparkSession, work_dir)
 
     return (
         spark.readStream.format("parquet")
@@ -450,6 +480,51 @@ def incremental_neardup_stream(
         .option("checkpointLocation", ckpt_dir)
         .start()
     )
+
+
+def recover_compaction(
+    work_dir: str,
+    tables: tuple[str, ...] = ("keys", "docs", "pairs"),
+) -> None:
+    """Finish or discard a :func:`compact_state` fold interrupted by a
+    crash — driver-side file ops only, no Spark session needed.
+
+    The exposure this closes: a crash AFTER the consolidated partition
+    committed but BEFORE the marker flipped to ``done`` (or before the
+    sources were dropped) leaves BOTH the fold and its sources on disk;
+    a restarted stream that never calls :func:`compact_state` again
+    would read every folded row twice. Runs at stream construction
+    (:func:`incremental_neardup_stream`) and at :func:`compact_state`
+    entry — both idempotent: ``pending`` means the fold output may be
+    torn (its committed form, if any, is deleted; sources are intact),
+    ``done`` means the fold is durable (its sources are deleted).
+    """
+    import json
+    import os
+    import shutil
+
+    compact_dir = os.path.join(work_dir, "_compact")
+
+    def _partition_dirs(path: str, batch_id: int) -> list[str]:
+        out = []
+        for root, dirs, _files in os.walk(path):
+            for d in dirs:
+                if d == f"_batch_id={batch_id}":
+                    out.append(os.path.join(root, d))
+        return out
+
+    for t in tables:
+        path = os.path.join(work_dir, t)
+        marker = os.path.join(compact_dir, f"{t}.json")
+        if not os.path.exists(marker):
+            continue
+        with open(marker) as f:
+            m = json.load(f)
+        doomed = [m["cid"]] if m["phase"] == "pending" else m["sources"]
+        for b in doomed:
+            for d in _partition_dirs(path, b):
+                shutil.rmtree(d, ignore_errors=True)
+        os.remove(marker)
 
 
 def compact_state(
@@ -472,7 +547,10 @@ def compact_state(
     level; ``_batch_id`` was never pruned on).
 
     Call between epochs, with the streaming query STOPPED — the
-    source-batch set must not move underneath the fold.
+    source-batch set must not move underneath the fold. (The stream's
+    opt-in ``compact_every`` calls this from INSIDE ``foreachBatch``,
+    which satisfies the same precondition: foreachBatch is synchronous,
+    so no other batch can write while the fold runs.)
 
     Crash safety mirrors the stream's write-then-marker discipline, per
     table: (1) a ``pending`` marker (consolidation id + source ids) is
@@ -540,22 +618,16 @@ def compact_state(
             for d in _partition_dirs(path, b):
                 shutil.rmtree(d, ignore_errors=True)
 
+    # --- recovery of a previous crashed fold (shared with the stream's
+    # construction-time guard) -------------------------------------------
+    recover_compaction(work_dir, tables)
+
     results: dict[str, dict] = {}
     for t in tables:
         path = os.path.join(work_dir, t)
         if not os.path.isdir(path):
             continue
         marker = os.path.join(compact_dir, f"{t}.json")
-
-        # --- recovery of a previous crashed fold ------------------------
-        if os.path.exists(marker):
-            with open(marker) as f:
-                m = json.load(f)
-            if m["phase"] == "pending":
-                _delete_partitions(path, [m["cid"]])  # torn output
-            else:  # done: fold durable, finish dropping sources
-                _delete_partitions(path, m["sources"])
-            os.remove(marker)
 
         present = _present_ids(path)
         sources = sorted(b for b in present if b < 0 or _is_applied(b))

@@ -715,3 +715,139 @@ def test_streaming_wiped_checkpoint_over_retained_state(spark, tmp_path):
     }
     assert urls == {"u1", "u9"}
     assert applied_watermark(work) >= 1  # advanced past the old range
+
+
+def test_streaming_auto_compaction(spark, tmp_path):
+    """compact_every=N folds state partitions from inside foreachBatch
+    (synchronous, so the source-batch set cannot move under the fold):
+    after 6 single-file batches with compact_every=3 the live
+    non-negative batch-partition count stays < 3, a consolidated
+    negative partition exists, and results are identical to the
+    uncompacted stream — including cross-epoch pair discovery."""
+    import glob
+    import re
+
+    from rlr_spark.streaming.ingest import incremental_neardup_stream
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")
+    batches = [
+        [("u0", base)], [("u1", "one two three four five")],
+        [("u2", "six seven eight nine ten")], [("u3", near)],
+        [("u4", "eleven twelve thirteen fourteen")],
+        [("u5", base.replace("alpha", "omega"))],
+    ]
+    src = str(tmp_path / "ac_src")
+    for i, rows in enumerate(batches):
+        _nd_batch(spark, rows).coalesce(1).write.parquet(f"{src}/f{i}")
+
+    def run(work, **kw):
+        q = incremental_neardup_stream(
+            spark, src + "/*", work, jaccard_threshold=0.8, **kw
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (r.l_id, r.r_id)
+            for r in spark.read.parquet(work + "/pairs").collect()
+        }
+
+    plain = run(str(tmp_path / "ac_plain"))
+    auto_work = str(tmp_path / "ac_auto")
+    auto = run(auto_work, compact_every=3)
+    assert auto == plain and len(auto) >= 2  # u0-u3, u0-u5, u3-u5 family
+
+    ids = set()
+    for d in glob.glob(auto_work + "/keys/**/_batch_id=*", recursive=True):
+        ids.add(int(re.search(r"_batch_id=(-?\d+)", d).group(1)))
+    assert len([b for b in ids if b >= 0]) < 3, ids
+    assert any(b < 0 for b in ids), ids  # the consolidated fold
+
+    # docs table intact (anti-join state) — all six urls, exactly once
+    docs = spark.read.parquet(auto_work + "/docs")
+    assert sorted(r.url for r in docs.select("url").collect()) == [
+        f"u{i}" for i in range(6)
+    ]
+
+
+def test_compaction_crash_between_commit_and_done_marker(spark, tmp_path):
+    """The narrow window compact_state's own recovery couldn't reach
+    without being called again: fold committed, marker still short of
+    cleanup, SOURCES still on disk — a restarted stream would read every
+    folded row twice. recover_compaction at stream construction closes
+    it (and the 'pending' phase discards a torn fold instead)."""
+    import glob
+    import json
+    import os
+    import re
+    import shutil
+
+    from rlr_spark.streaming.ingest import (
+        compact_state,
+        incremental_neardup_stream,
+        recover_compaction,
+    )
+
+    src = str(tmp_path / "cw_src")
+    work = str(tmp_path / "cw_work")
+    for i in range(3):
+        _nd_batch(spark, [(f"w{i}", f"text number {i} entirely distinct")]) \
+            .coalesce(1).write.parquet(f"{src}/f{i}")
+    q = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    keys = spark.read.parquet(work + "/keys")
+    n_rows = keys.count()
+
+    # snapshot the source partitions, compact, then RESTORE the sources
+    # and a marker — exactly the states a crash leaves behind
+    snap = str(tmp_path / "snap")
+    shutil.copytree(work + "/keys", snap)
+    res = compact_state(spark, work, tables=("keys",))
+    cid = res["keys"]["cid"]
+    assert cid is not None and cid < 0
+
+    def restore_sources():
+        out = []
+        for d in glob.glob(snap + "/**/_batch_id=*", recursive=True):
+            b = int(re.search(r"_batch_id=(-?\d+)", d).group(1))
+            if b >= 0:
+                out.append(b)
+                dst = d.replace(snap, work + "/keys")
+                if not os.path.isdir(dst):
+                    shutil.copytree(d, dst)
+        return sorted(set(out))
+
+    os.makedirs(work + "/_compact", exist_ok=True)
+
+    # --- crash AFTER the fold committed, marker still 'pending': the
+    # fold is discarded (it may be torn), the sources stay ---------------
+    sources = restore_sources()
+    with open(work + "/_compact/keys.json", "w") as f:
+        json.dump({"phase": "pending", "cid": cid, "sources": sources}, f)
+    recover_compaction(work, tables=("keys",))
+    remaining = {
+        int(re.search(r"_batch_id=(-?\d+)", d).group(1))
+        for d in glob.glob(work + "/keys/**/_batch_id=*", recursive=True)
+    }
+    assert cid not in remaining and set(sources) <= remaining
+    assert spark.read.parquet(work + "/keys").count() == n_rows
+
+    # --- crash AFTER the marker flipped 'done', sources not yet dropped:
+    # both fold and sources on disk -> a restarted stream would read
+    # every folded row twice; construction-time recovery drops sources --
+    res2 = compact_state(spark, work, tables=("keys",))
+    cid2 = res2["keys"]["cid"]
+    sources = restore_sources()
+    with open(work + "/_compact/keys.json", "w") as f:
+        json.dump({"phase": "done", "cid": cid2, "sources": sources}, f)
+    assert spark.read.parquet(work + "/keys").count() == 2 * n_rows  # doubled
+
+    q2 = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    q2.stop()
+    assert not os.path.exists(work + "/_compact/keys.json")
+    assert spark.read.parquet(work + "/keys").count() == n_rows
