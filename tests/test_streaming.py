@@ -851,3 +851,33 @@ def test_compaction_crash_between_commit_and_done_marker(spark, tmp_path):
     q2.stop()
     assert not os.path.exists(work + "/_compact/keys.json")
     assert spark.read.parquet(work + "/keys").count() == n_rows
+
+
+def test_state_writes_one_file_per_bucket_leaf(spark, tmp_path):
+    """Perf regression pin: per-batch state writes are pre-shuffled onto
+    their bucket column, so each (bucket, _batch_id) leaf holds exactly
+    ONE parquet file — not one per write task (profiled at 5.3s median
+    task wall vs 0.25s CPU when tasks each opened files in every leaf)."""
+    import glob
+    import os
+
+    from rlr_spark.streaming.ingest import incremental_neardup_stream
+
+    src = str(tmp_path / "of_src")
+    work = str(tmp_path / "of_work")
+    rows = [(f"u{i}", f"some distinct text number {i} here") for i in range(400)]
+    _nd_batch(spark, rows).repartition(8).write.parquet(src + "/f0")
+    q = incremental_neardup_stream(spark, src + "/*", work, jaccard_threshold=0.8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    for table, leaf_glob in (
+        ("keys", "/keys/_kb=*/_batch_id=*"),
+        ("docs", "/docs/_ub=*/_batch_id=*"),
+    ):
+        leaves = glob.glob(work + leaf_glob)
+        assert leaves, table
+        for leaf in leaves:
+            n = len(glob.glob(os.path.join(leaf, "*.parquet")))
+            assert n == 1, (table, leaf, n)
