@@ -201,9 +201,9 @@ def _run_streaming_bench(spark, corpus_path: str) -> dict:
     # Iceberg metadata makes it a non-issue at production scale and the
     # slope + compaction cost here quantify the plain-parquet cadence
     # trade (optimal epoch ~ sqrt(2*compact_sec/slope)).
-    epoch1, epoch2 = walls[:compact_at], walls[compact_at:]
-    open1 = sum(epoch1[:2]) / 2
-    open2 = sum(epoch2[:2]) / 2 if len(epoch2) >= 2 else None
+    epoch1, epoch2 = walls[:compact_at] or walls, walls[compact_at:]
+    open1 = sum(epoch1[:2]) / len(epoch1[:2])
+    open2 = sum(epoch2[:2]) / len(epoch2[:2]) if len(epoch2) >= 2 else None
     slope = (
         round((epoch1[-1] - epoch1[1]) / max(len(epoch1) - 2, 1), 2)
         if len(epoch1) >= 3
