@@ -224,6 +224,79 @@ def _run_streaming_bench(spark, corpus_path: str) -> dict:
     }
 
 
+def _run_entity_stream_bench(spark, corpus_path: str) -> dict:
+    """Per-batch wall of the COMPOSED stream: incremental near-dup +
+    incremental entity resolution (EntityState.update folded into each
+    foreachBatch). Same per-batch-proportional evidence shape as the
+    near-dup bench, fewer batches (the ER fold adds alias-resolution
+    jobs per batch); one alias compaction runs mid-stream."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from rlr_spark.streaming.entities import EntityState
+    from rlr_spark.streaming.ingest import incremental_neardup_stream
+
+    n_batches = int(os.environ.get("RLR_BENCH_ER_BATCHES", "10"))
+    compact_at = max(n_batches // 2, 1)
+    root = f"/tmp/rlr_bench_erstream_{n_batches}"
+    shutil.rmtree(root, ignore_errors=True)
+    staged, src, work = f"{root}/staged", f"{root}/src", f"{root}/work"
+    os.makedirs(src, exist_ok=True)
+    corpus = spark.read.parquet(corpus_path)
+    (
+        corpus.withColumn("_b", F.pmod(F.xxhash64("url"), F.lit(n_batches)))
+        .repartition("_b")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    docs_per_batch = corpus.count() // n_batches
+
+    ents = EntityState(spark, f"{root}/ents", buckets=64)
+
+    def _stream():
+        return incremental_neardup_stream(
+            spark, src + "/*", work, jaccard_threshold=0.8,
+            shingle_k=3, bands=16, rows_per_band=3, entity_state=ents,
+        )
+
+    q = _stream()
+    walls, compact_sec = [], None
+    try:
+        for i in range(n_batches):
+            for f in _glob.glob(f"{staged}/_b={i}/*.parquet"):
+                shutil.copy(f, f"{src}/b{i:03d}_{os.path.basename(f)}")
+            t0 = time.time()
+            q.processAllAvailable()
+            walls.append(round(time.time() - t0, 3))
+            if i + 1 == compact_at:
+                q.stop()
+                t0 = time.time()
+                ents.compact_aliases(1)
+                compact_sec = round(time.time() - t0, 3)
+                q = _stream()
+    finally:
+        q.stop()
+    n_entities = ents.assignments().select("entity").distinct().count()
+    rounds = getattr(ents, "last_resolve_rounds", None)
+    shutil.rmtree(root, ignore_errors=True)
+    epoch1, epoch2 = walls[:compact_at] or walls, walls[compact_at:]
+    open1 = sum(epoch1[:2]) / len(epoch1[:2])
+    open2 = sum(epoch2[:2]) / len(epoch2[:2]) if len(epoch2) >= 2 else None
+    return {
+        "docs_per_batch": docs_per_batch,
+        "n_batches": n_batches,
+        "batch_sec": walls,
+        "alias_compact_at_batch": compact_at,
+        "alias_compact_sec": compact_sec,
+        "epoch_open_sec_first": round(open1, 2),
+        "epoch_open_sec_after_compaction": round(open2, 2) if open2 else None,
+        "final_resolve_rounds": rounds,
+        "n_entities": n_entities,
+    }
+
+
 def _run_warc_bench(spark, trials: int) -> dict:
     """WARC ingestion throughput: synthetic multi-segment .warc.gz corpus
     -> warc_web_pages scan (binaryFile + mapInPandas gzip-member
@@ -343,6 +416,9 @@ def main() -> None:
     streaming = None
     if os.environ.get("RLR_BENCH_STREAMING", "1") == "1" and BIG_PAGES:
         streaming = _run_streaming_bench(spark, _corpus(BIG_PAGES))
+    er_stream = None
+    if os.environ.get("RLR_BENCH_ER_STREAM", "1") == "1" and BIG_PAGES:
+        er_stream = _run_entity_stream_bench(spark, _corpus(BIG_PAGES))
     warc = None
     if os.environ.get("RLR_BENCH_WARC", "1") == "1":
         warc = _run_warc_bench(spark, TRIALS)
@@ -358,6 +434,7 @@ def main() -> None:
                 "pipeline": pipeline_best,
                 **({"pipeline_big": pipeline_big} if pipeline_big else {}),
                 **({"streaming": streaming} if streaming else {}),
+                **({"streaming_er": er_stream} if er_stream else {}),
                 **({"warc_ingest": warc} if warc else {}),
             }
         )
