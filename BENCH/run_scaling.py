@@ -43,10 +43,14 @@ extra = {{"spark.executor.memory": "5g",
          # varies ONLY parallelism (RLR_SCALING_MAXPB overrides for
          # decomposition experiments; both levels always get the same)
          "spark.sql.files.maxPartitionBytes": os.environ.get("RLR_SCALING_MAXPB", "2m"),
-         # shuffle/IO compression codec (RLR_SCALING_CODEC): on a
-         # bandwidth-constrained shared host, zstd's better ratio trades
-         # cpu for bytes moved — measured, not assumed (see BASELINE.md)
-         "spark.io.compression.codec": os.environ.get("RLR_SCALING_CODEC", "lz4")}}
+         # shuffle/IO compression codec (RLR_SCALING_CODEC): zstd's
+         # better ratio trades cpu for bytes moved. Re-measured round 6
+         # AFTER the Arrow minhash kernel freed the pairs stage's CPU:
+         # back-to-back same-day runs gave pairs floor-corrected 0.73
+         # (lz4) vs 0.797 (zstd) with zstd also posting the best-ever
+         # pairs T4 (10.13 s) — on a bandwidth-bound stage the bytes
+         # now win, so zstd is the default (runs 24/25 in the jsonl)
+         "spark.io.compression.codec": os.environ.get("RLR_SCALING_CODEC", "zstd")}}
 shuffle_dir = None
 if os.environ.get("RLR_SCALING_SHUFFLE_TMPFS", "1") == "1" and os.path.isdir("/dev/shm"):
     shuffle_dir = f"/dev/shm/rlr_scaling_shuffle_{{n_exec}}x{{cores}}"
