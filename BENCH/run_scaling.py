@@ -195,7 +195,7 @@ def main() -> None:
         "membw_ceiling_min": round(min(ceilings), 3) if ceilings else None,
         "membw_ceiling_max": round(max(ceilings), 3) if ceilings else None,
         "commit": _git_rev(),
-        "codec": os.environ.get("RLR_SCALING_CODEC", "lz4"),
+        "codec": os.environ.get("RLR_SCALING_CODEC", "zstd"),
         "shuffle_tmpfs": os.environ.get("RLR_SCALING_SHUFFLE_TMPFS", "1") == "1",
         "max_partition_bytes": os.environ.get("RLR_SCALING_MAXPB", "2m"),
         "trials": trials,
