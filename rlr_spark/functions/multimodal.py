@@ -15,7 +15,9 @@ and JFIF/JPEG — baseline, non-interleaved multi-scan, AND progressive
 through a pure-numpy Huffman + IDCT pipeline
 (:mod:`rlr_spark.functions.jpeg`) — so ``image_stats`` /
 ``audio_stats`` / ``resize_nearest`` run end-to-end on real bytes.
-The remaining codecs (WebP/AVIF/MP3/H.264) stay a clearly-marked
+Lossless WebP (VP8L) decodes through a pure-Python Huffman + LZ77 +
+spatial-transform pipeline (:mod:`rlr_spark.functions.vp8l`). The
+remaining codecs (lossy-WebP VP8/AVIF/MP3/H.264) stay a clearly-marked
 ``NotImplementedError`` — the sandbox ships no codec library — with
 the dispatch sniffing magic bytes so dropping in PIL/libsndfile
 upgrades those branches without touching the operators.
@@ -488,14 +490,15 @@ def decode_png(payload: bytes) -> "np.ndarray":
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Dispatch on magic bytes: P6 PPM, PNG, GIF, and JPEG (baseline
-    AND progressive) all decode for real (PPM is a header parse; PNG is
-    stdlib zlib + per-scanline un-filtering; GIF is pure-Python LZW;
-    JPEG is a pure-numpy Huffman + IDCT pipeline,
-    :mod:`rlr_spark.functions.jpeg`); the remaining formats
-    (WebP/AVIF/...) raise until a codec library is dropped in —
-    everything downstream (batch shape, schema, partitioning) already
-    handles the real thing."""
+    """Dispatch on magic bytes: P6 PPM, PNG, GIF, JPEG (baseline AND
+    progressive), and lossless WebP all decode for real (PPM is a
+    header parse; PNG is stdlib zlib + per-scanline un-filtering; GIF
+    is pure-Python LZW; JPEG is a pure-numpy Huffman + IDCT pipeline,
+    :mod:`rlr_spark.functions.jpeg`; VP8L is pure-Python Huffman +
+    LZ77 + spatial transforms, :mod:`rlr_spark.functions.vp8l`); the
+    remaining formats (lossy WebP/AVIF/...) raise until a codec
+    library is dropped in — everything downstream (batch shape,
+    schema, partitioning) already handles the real thing."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(PNG_SIG):
@@ -508,23 +511,21 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from rlr_spark.functions.gif import decode_gif
 
         return decode_gif(payload)
-    # WebP was explicitly evaluated and NOT stubbed out of laziness:
-    # VP8L's entropy machinery (LSB-first bit reader, canonical
-    # code-length codes, LZ77 + color cache, the four transforms) is
-    # pure-Python tractable like the codecs above — but its LZ77
-    # distance mapping depends on a 120-entry 2D-neighborhood table
-    # whose exact ordering cannot be verified in this sandbox (no
-    # libwebp to cross-check, no network to fetch the spec), and a
-    # misremembered table decodes real files to silently WRONG pixels,
-    # which this module's fail-loudly contract forbids. Lossy VP8 (the
-    # boolean arithmetic coder + prediction DSP) is out of pure-Python
-    # scope outright. So WebP raises until a codec library (or the
-    # verified table) is available.
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # Lossless (VP8L) decodes natively; lossy VP8 (boolean
+        # arithmetic coder + prediction DSP) is out of pure-Python
+        # scope and raises inside decode_webp. The VP8L 2D distance
+        # map is the one spec table with no independent local
+        # cross-check — validation boundary documented in
+        # rlr_spark/functions/vp8l.py (same class as progressive JPEG).
+        from rlr_spark.functions.vp8l import decode_webp
+
+        return decode_webp(payload)
     raise NotImplementedError(
-        "image codec not available for this format (webp/avif/...); "
+        "image codec not available for this format (avif/...); "
         "P6 PPM, PNG (all depths/color types incl. palette and Adam7), "
-        "JPEG (baseline + progressive + multi-scan), and GIF (incl. "
-        "animations) decode natively"
+        "JPEG (baseline + progressive + multi-scan), GIF (incl. "
+        "animations), and lossless WebP (VP8L) decode natively"
     )
 
 
