@@ -605,6 +605,21 @@ components is R sequential rounds of short jobs, so its wall is
 round-trip-latency-bound by construction at sandbox sizes — the rounds
 grow as log(diameter), not with data, so the same structure is sub-1%
 of wall at cluster scale.
+
+## The no-shuffle control stage (plan shape vs host, isolated by design)
+
+The pipeline carries its own control experiment: **extract** is
+embarrassingly parallel — an Arrow map over the input with NO exchange,
+NO join, NO aggregation — so its raw efficiency in a given window IS
+that window's achievable bound for any data-proportional stage, plan
+shape notwithstanding. Whenever pairs/score match extract's raw
+efficiency in the same run (the 2,400,000-page run measured extract
+0.579 / pairs 0.576 / score 0.581 — identical to within noise), the gap
+to 1.0 is the host, not the shuffle: a stage cannot be losing its
+efficiency to exchange volume while scaling exactly as well as a stage
+that has no exchanges at all. This is the same-window comparison the
+membw probes approximate from outside the JVM, measured from inside the
+actual job.
 """
 
 
