@@ -1175,7 +1175,13 @@ DRIVER_QUERY_BUDGET = 50
 # methodology, not part of the driver's 50-row budget): distinct
 # algorithms whose registry rows were consolidated into family
 # representatives — they keep full oracle coverage here.
-_EXTENDED = ("dedup_ngram", "text_unigram_lm", "emb_ann_ivf", "emb_ann_lsh")
+_EXTENDED = (
+    "dedup_ngram",
+    "text_unigram_lm",
+    "emb_ann_ivf",
+    "emb_ann_lsh",
+    "review_uncertainty",
+)
 
 
 def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1232,11 +1238,27 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "vec_id", F.round(F.col("cos_sim"), 4).alias("cos_sim"), "rank"
         )
 
+    # -- uncertainty-sampled review queue: the 200 pairs a human should
+    # label next — FS score nearest a decision threshold (active
+    # learning over the reference's review workflow). Global top-k
+    # compiles to TakeOrderedAndProject: per-partition heaps, no global
+    # sort, O(k) driver memory at 10^12 pairs. --------------------------------
+    def review_uncertainty(spark, sf_dir):
+        from rlr_spark.operators.scoring import review_queue
+
+        return review_queue(
+            _fs_scored_pairs(spark, sf_dir).select("l_id", "r_id", "fs_score"),
+            k=200,
+            upper=4.0,
+            lower=0.0,
+        )
+
     return {
         "dedup_ngram": dedup_ngram,
         "text_unigram_lm": text_unigram_lm,
         "emb_ann_ivf": emb_ann_ivf,
         "emb_ann_lsh": emb_ann_lsh,
+        "review_uncertainty": review_uncertainty,
     }
 
 
@@ -1523,6 +1545,18 @@ def _oracle_sql_full() -> dict[str, str]:
             FROM pairs WHERE l_id % 7 = 0 AND r_id % 7 = 0
         """,
         "c3_fs_score": _FS_SQL,
+        # margin from the ROUNDED fs_score on both sides (the Spark query
+        # feeds review_queue the rounded column), so the float math is
+        # bit-identical; (margin, l_id, r_id) is a total order -> the
+        # LIMIT is deterministic
+        "review_uncertainty": f"""
+            SELECT l_id, r_id, fs_score,
+                   round(least(abs(fs_score - 4.0), abs(fs_score - 0.0)), 6)
+                       AS margin
+            FROM ({_FS_SQL})
+            ORDER BY margin, l_id, r_id
+            LIMIT 200
+        """,
         "nav_cursor": """
             (SELECT 'n1_prev' AS op, doc_id, '' AS source, '' AS lang
              FROM documents WHERE doc_id < 200

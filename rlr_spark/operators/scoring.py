@@ -197,3 +197,55 @@ def estimate_mu(
         u = float(by_label[LABEL_NONMATCH][c]) if LABEL_NONMATCH in by_label else 0.1
         out[c] = (m, u)
     return out
+
+
+def review_queue(
+    scored: DataFrame,
+    k: int,
+    score_col: str = "fs_score",
+    upper: float = 2.0,
+    lower: float = 0.0,
+    order_cols: tuple[str, ...] = ("l_id", "r_id"),
+    pattern_cols: tuple[str, ...] = (),
+    margin_col: str = "margin",
+) -> DataFrame:
+    """Most-informative pairs for human review (uncertainty sampling).
+
+    The reference's workflow is a human labeling pairs one at a time
+    (backend/rlr.py navigation + label upsert); at web scale the pairs
+    worth that human's minute are the ones the model is least sure
+    about. Informativeness = distance of the FS score to the NEARER
+    decision threshold — pairs deep inside the Match / Not-a-Match
+    regions teach nothing, pairs at a boundary move it.
+
+    Two shapes, both scale-safe:
+
+    - global (``pattern_cols=()``): orderBy+limit compiles to
+      TakeOrderedAndProject — per-partition top-k heaps merged on the
+      driver, NO global sort, O(k) driver memory at 10^12 pairs.
+    - stratified (``pattern_cols=(...)``): top-k per agreement pattern
+      / blocking pass / stratum via one window shuffle, so a dominant
+      easy stratum can't starve rare-pattern pairs out of the queue —
+      the standard guard against sampling bias in active learning.
+
+    Ties break on ``order_cols`` so the queue is deterministic (and the
+    DuckDB oracle can mirror it exactly).
+    """
+    margin = F.round(
+        F.least(
+            F.abs(F.col(score_col) - F.lit(upper)),
+            F.abs(F.col(score_col) - F.lit(lower)),
+        ),
+        6,
+    )
+    out = scored.withColumn(margin_col, margin)
+    order = [F.col(margin_col).asc(), *[F.col(c).asc() for c in order_cols]]
+    if not pattern_cols:
+        return out.orderBy(*order).limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*pattern_cols).orderBy(*order)
+    return (
+        out.withColumn("queue_rank", F.row_number().over(w))
+        .where(F.col("queue_rank") <= k)
+    )
