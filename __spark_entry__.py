@@ -1181,6 +1181,8 @@ _EXTENDED = (
     "emb_ann_ivf",
     "emb_ann_lsh",
     "review_uncertainty",
+    "threshold_sweep",
+    "blocking_quality",
 )
 
 
@@ -1253,12 +1255,36 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lower=0.0,
         )
 
+    # -- P/R/F1 at every distinct score threshold, in one pass: pairs
+    # collapse to (score, n, n_true) buckets (<= 2^|fields| rows for FS
+    # scoring), the cumulative window runs over the buckets, never the
+    # pairs. Truth = jaccard >= 0.5 pairs from the same scored set. ----------
+    def threshold_sweep(spark, sf_dir):
+        from rlr_spark.operators.evaluate import threshold_sweep as sweep
+
+        sc = _fs_scored_pairs(spark, sf_dir)
+        truth = sc.where(F.col("jaccard") >= 0.5).select("l_id", "r_id")
+        return sweep(sc, truth)
+
+    # -- blocking scorecard: pairs-completeness + reduction ratio for a
+    # simulated blocking pass (every third left id) vs the same truth -------
+    def blocking_quality(spark, sf_dir):
+        from rlr_spark.operators.evaluate import blocking_quality as bq
+
+        sc = _fs_scored_pairs(spark, sf_dir)
+        cand = sc.where(F.col("l_id") % 3 == 0).select("l_id", "r_id")
+        truth = sc.where(F.col("jaccard") >= 0.5).select("l_id", "r_id")
+        n = _t(spark, sf_dir, "documents").count()
+        return bq(cand, truth, n_records=n)
+
     return {
         "dedup_ngram": dedup_ngram,
         "text_unigram_lm": text_unigram_lm,
         "emb_ann_ivf": emb_ann_ivf,
         "emb_ann_lsh": emb_ann_lsh,
         "review_uncertainty": review_uncertainty,
+        "threshold_sweep": threshold_sweep,
+        "blocking_quality": blocking_quality,
     }
 
 
@@ -1556,6 +1582,52 @@ def _oracle_sql_full() -> dict[str, str]:
             FROM ({_FS_SQL})
             ORDER BY margin, l_id, r_id
             LIMIT 200
+        """,
+        # cumulative window over score buckets (DuckDB's default RANGE
+        # frame == the Spark side's explicit rangeBetween); precision/
+        # recall/f1 computed from UNROUNDED ratios, rounded at output —
+        # mirrors operators/evaluate.py exactly
+        "threshold_sweep": f"""
+            WITH sc AS ({_FS_SQL}),
+            b AS (
+              SELECT fs_score AS threshold, count(*) AS n,
+                     sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS n_true
+              FROM sc GROUP BY fs_score),
+            c AS (
+              SELECT threshold,
+                     sum(n) OVER (ORDER BY threshold DESC) AS predicted_pos,
+                     sum(n_true) OVER (ORDER BY threshold DESC) AS true_pos
+              FROM b),
+            tt AS (SELECT count(*) AS truth_total FROM sc WHERE jaccard >= 0.5)
+            SELECT threshold, predicted_pos, true_pos,
+                   round(true_pos / predicted_pos, 6) AS precision,
+                   round(true_pos / truth_total, 6) AS recall,
+                   round(CASE WHEN (true_pos / predicted_pos
+                                    + true_pos / truth_total) > 0
+                              THEN 2 * (true_pos / predicted_pos)
+                                     * (true_pos / truth_total)
+                                   / (true_pos / predicted_pos
+                                      + true_pos / truth_total)
+                              ELSE 0.0 END, 6) AS f1
+            FROM c, tt
+        """,
+        "blocking_quality": f"""
+            WITH sc AS ({_FS_SQL}),
+            cand AS (SELECT l_id, r_id FROM sc WHERE l_id % 3 = 0),
+            truth AS (SELECT l_id, r_id FROM sc WHERE jaccard >= 0.5),
+            n AS (SELECT count(*)::DOUBLE AS cnt FROM documents),
+            hits AS (SELECT count(*) AS h FROM cand c
+                      WHERE EXISTS (SELECT 1 FROM truth t
+                                     WHERE t.l_id = c.l_id AND t.r_id = c.r_id))
+            SELECT (SELECT count(*) FROM cand) AS n_candidates,
+                   (SELECT count(*) FROM truth) AS n_truth,
+                   (SELECT h FROM hits) AS true_in_candidates,
+                   round((SELECT h FROM hits)
+                         / (SELECT count(*) FROM truth), 6)
+                       AS pairs_completeness,
+                   round(1.0 - (SELECT count(*) FROM cand)
+                               / (SELECT cnt * (cnt - 1) / 2.0 FROM n), 6)
+                       AS reduction_ratio
         """,
         "nav_cursor": """
             (SELECT 'n1_prev' AS op, doc_id, '' AS source, '' AS lang

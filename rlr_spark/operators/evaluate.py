@@ -1,0 +1,136 @@
+"""Linkage-quality evaluation: threshold sweeps and blocking quality.
+
+The reference exposes label *counts* (backend/rlr.py label summary);
+an engine run at 10^12 pairs also needs the two questions every ER
+practitioner asks before believing a run:
+
+- *where should the match threshold sit?* — :func:`threshold_sweep`
+  computes precision/recall/F1 at every distinct score value in ONE
+  pass, by aggregating pairs down to score buckets first and running
+  the cumulative window over the buckets, never over the pairs. A
+  Fellegi-Sunter score is a sum of per-field discrete weights, so the
+  bucket table has at most 2^|fields| rows no matter how many pairs
+  exist — the window is driver-trivial while the heavy lifting stays
+  a single map-side-combinable groupBy.
+
+- *did blocking lose the matches?* — :func:`blocking_quality` reports
+  pairs-completeness (the fraction of true matches the candidate set
+  retained — the blocking recall bound no downstream scorer can
+  recover) and the reduction ratio (the fraction of the n*(n-1)/2
+  full cross-product the blocking pruned away).
+
+Both are pure DataFrame aggregations: no UDFs, no collects beyond the
+returned summary rows, oracle-checkable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    truth: DataFrame,
+    score_col: str = "fs_score",
+    id_cols: tuple[str, str] = ("l_id", "r_id"),
+    round_to: int = 6,
+) -> DataFrame:
+    """Precision/recall/F1 at every distinct score threshold.
+
+    ``scored``: candidate pairs with ``score_col``; ``truth``: the
+    labeled true-match pairs (same id columns, same canonical l<r
+    orientation). Semantics of a row: *label Match iff score >=
+    threshold*. Recall is measured against ALL of truth — true pairs
+    the blocking never surfaced count against recall at every
+    threshold, so the curve reflects the pipeline, not just the
+    scorer.
+
+    Scale shape: one groupBy collapses pairs to (score, n, n_true)
+    buckets (map-side combinable); the cumulative window and the
+    1-row truth total are broadcast-joined onto the bucket table,
+    whose size is bounded by the number of distinct scores (<=
+    2^|fields| for FS scoring), not by the pair count.
+    """
+    l, r = id_cols
+    t = truth.select(
+        F.col(l).alias("_tl"), F.col(r).alias("_tr"), F.lit(1).alias("_is_true")
+    ).dropDuplicates(["_tl", "_tr"])
+    joined = scored.select(
+        F.round(F.col(score_col), round_to).alias("threshold"), F.col(l), F.col(r)
+    ).join(
+        t, (F.col(l) == F.col("_tl")) & (F.col(r) == F.col("_tr")), "left"
+    )
+    buckets = joined.groupBy("threshold").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.coalesce(F.col("_is_true"), F.lit(0))).alias("_n_true"),
+    )
+    # cumulative from the top: predicting Match at threshold t accepts
+    # every bucket with score >= t
+    w = Window.orderBy(F.col("threshold").desc()).rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = buckets.select(
+        "threshold",
+        F.sum("_n").over(w).alias("_pred_pos"),
+        F.sum("_n_true").over(w).alias("_tp"),
+    )
+    total = t.agg(F.count("*").alias("_truth_total"))
+    swept = cum.join(F.broadcast(total))
+    prec = F.col("_tp") / F.col("_pred_pos")
+    rec = F.col("_tp") / F.col("_truth_total")
+    return swept.select(
+        "threshold",
+        F.col("_pred_pos").alias("predicted_pos"),
+        F.col("_tp").alias("true_pos"),
+        F.round(prec, round_to).alias("precision"),
+        F.round(rec, round_to).alias("recall"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0),
+            round_to,
+        ).alias("f1"),
+    )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    n_records: int,
+    id_cols: tuple[str, str] = ("l_id", "r_id"),
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row blocking scorecard: pairs-completeness + reduction ratio.
+
+    ``pairs_completeness`` = |candidates ∩ truth| / |truth| — the recall
+    ceiling blocking imposes on everything downstream. ``reduction_ratio``
+    = 1 - |candidates| / C(n_records, 2) — how much of the full
+    cross-product the blocking pruned. The classic trade-off pair
+    (Christen, *Data Matching*, ch. 7): report them together or report
+    nothing.
+    """
+    l, r = id_cols
+    cand = candidates.select(l, r).dropDuplicates([l, r])
+    t = truth.select(
+        F.col(l).alias("_tl"), F.col(r).alias("_tr")
+    ).dropDuplicates(["_tl", "_tr"])
+    hit = cand.join(
+        t, (F.col(l) == F.col("_tl")) & (F.col(r) == F.col("_tr")), "left_semi"
+    ).agg(F.count("*").alias("_hits"))
+    sides = (
+        cand.agg(F.count("*").alias("n_candidates"))
+        .join(F.broadcast(t.agg(F.count("*").alias("n_truth"))))
+        .join(F.broadcast(hit))
+    )
+    total_pairs = float(n_records) * (n_records - 1) / 2.0
+    return sides.select(
+        "n_candidates",
+        "n_truth",
+        F.col("_hits").alias("true_in_candidates"),
+        F.round(F.col("_hits") / F.col("n_truth"), round_to).alias(
+            "pairs_completeness"
+        ),
+        F.round(
+            F.lit(1.0) - F.col("n_candidates") / F.lit(total_pairs), round_to
+        ).alias("reduction_ratio"),
+    )

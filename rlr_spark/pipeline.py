@@ -407,6 +407,48 @@ class Pipeline:
             "cluster": clusters,
         }
 
+    def evaluate(self, truth: DataFrame) -> dict[str, DataFrame]:
+        """Post-run quality surfaces against labeled truth clusters.
+
+        ``truth``: (id_col, entity_id) — the same shape
+        :func:`pairwise_f1` consumes. Returns two lazy DataFrames over
+        the run's materialized stages:
+
+        - ``"sweep"`` — precision/recall/F1 at every distinct FS score
+          (:func:`rlr_spark.operators.evaluate.threshold_sweep`), i.e.
+          where cfg.upper SHOULD sit for this corpus, measured instead
+          of guessed;
+        - ``"blocking"`` — pairs-completeness + reduction ratio of the
+          candidate set (:func:`~rlr_spark.operators.evaluate.blocking_quality`):
+          how many true matches blocking lost, and what fraction of the
+          n² cross-product it pruned to get there.
+
+        Truth pairs are derived by joining truth to the extract stage on
+        ``cfg.id_col`` (so both uid_bits modes work — no re-minting) and
+        expanding each truth cluster to canonical l<r uid pairs; a truth
+        row whose id never reached extract counts against recall, same
+        as in :func:`pairwise_f1`.
+        """
+        from rlr_spark.operators.evaluate import blocking_quality, threshold_sweep
+
+        cfg = self.config
+        extracted = self.catalog.read("extract")
+        scored = self.catalog.read("score")
+        ids = extracted.select(cfg.id_col, "uid")
+        t = truth.join(ids, cfg.id_col, "inner")
+        a = t.select(F.col("entity_id").alias("_e"), F.col("uid").alias("l_id"))
+        b = t.select(F.col("entity_id").alias("_e"), F.col("uid").alias("r_id"))
+        truth_pairs = (
+            a.join(b, "_e").where(F.col("l_id") < F.col("r_id")).select("l_id", "r_id")
+        )
+        n_records = extracted.count()
+        return {
+            "sweep": threshold_sweep(scored, truth_pairs),
+            "blocking": blocking_quality(
+                scored.select("l_id", "r_id"), truth_pairs, n_records
+            ),
+        }
+
 
 def pairwise_f1(
     clusters: DataFrame, truth: DataFrame, id_col: str = "url"

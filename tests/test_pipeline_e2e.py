@@ -35,6 +35,29 @@ def test_f1_against_planted_truth(pipeline_out):
     assert scores["f1"] >= 0.99, scores
 
 
+def test_evaluate_sweep_and_blocking(pipeline_out):
+    pipe, out, truth = pipeline_out
+    ev = pipe.evaluate(truth)
+    sweep = {r["threshold"]: r for r in ev["sweep"].collect()}
+    assert len(sweep) >= 2  # at least two distinct FS score values
+    # the loosest threshold predicts every scored pair positive
+    loosest = min(sweep)
+    assert sweep[loosest]["predicted_pos"] == out["score"].count()
+    # recall never decreases as the threshold loosens; precision at the
+    # configured upper threshold must be consistent with the f1 gate
+    ts = sorted(sweep, reverse=True)
+    recalls = [sweep[t]["recall"] for t in ts]
+    assert recalls == sorted(recalls)
+    bq = ev["blocking"].collect()[0]
+    # blocking keeps nearly all true pairs (the F1 >= 0.99 gate implies
+    # it) and prunes most of the cross-product — at 400 pages the
+    # planted duplicate density is high (C(400,2) is only 80k), so the
+    # ratio is far below its web-scale asymptote; 0.8 pins the shape
+    assert bq["pairs_completeness"] >= 0.99, bq
+    assert bq["reduction_ratio"] > 0.8, bq
+    assert bq["n_candidates"] == out["score"].count()
+
+
 def test_stage_manifests_written(pipeline_out, run_dir):
     pipe, out, _ = pipeline_out
     for stage in ["extract", "pairs", "score", "cluster"]:
