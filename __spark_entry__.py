@@ -1183,6 +1183,7 @@ _EXTENDED = (
     "review_uncertainty",
     "threshold_sweep",
     "blocking_quality",
+    "entity_history",
 )
 
 
@@ -1255,6 +1256,16 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lower=0.0,
         )
 
+    # -- SCD2 validity intervals: which state was this id, when —
+    # gaps-and-islands over one shuffle key (operators/temporal.py) ----------
+    def entity_history(spark, sf_dir):
+        from rlr_spark.operators.temporal import track_history
+
+        ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 200)
+        return track_history(
+            ev, id_col="user_id", state_col="event_type", ts_col="ts"
+        )
+
     # -- P/R/F1 at every distinct score threshold, in one pass: pairs
     # collapse to (score, n, n_true) buckets (<= 2^|fields| rows for FS
     # scoring), the cumulative window runs over the buckets, never the
@@ -1285,12 +1296,24 @@ def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "review_uncertainty": review_uncertainty,
         "threshold_sweep": threshold_sweep,
         "blocking_quality": blocking_quality,
+        "entity_history": entity_history,
     }
 
 
 def extended_oracle_sql() -> dict[str, str]:
     full = _oracle_sql_full()
     return {k: full[k] for k in _EXTENDED}
+
+
+def _track_history_oracle() -> str:
+    from rlr_spark.operators.temporal import track_history_sql
+
+    return track_history_sql(
+        "(SELECT * FROM events WHERE user_id < 200)",
+        id_col="user_id",
+        state_col="event_type",
+        ts_col="ts",
+    )
 
 
 def _pagerank_oracle() -> str:
@@ -1611,6 +1634,7 @@ def _oracle_sql_full() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS f1
             FROM c, tt
         """,
+        "entity_history": _track_history_oracle(),
         "blocking_quality": f"""
             WITH sc AS ({_FS_SQL}),
             cand AS (SELECT l_id, r_id FROM sc WHERE l_id % 3 = 0),

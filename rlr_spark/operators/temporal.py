@@ -203,3 +203,82 @@ def asof_join_sql(
         SELECT {on}, {ts_col}, {id_col}, {", ".join(f"r_{v}" for v in value_cols)}, r_ts
         FROM carried WHERE _side = 1
     """
+
+
+def track_history(
+    observations: DataFrame,
+    id_col: str = "url",
+    state_col: str = "entity_id",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """SCD2-style validity intervals: collapse an observation log into
+    per-id state runs with [valid_from, valid_to) bounds.
+
+    A crawl observes each url at many ``warc_ts`` snapshots, and
+    incremental ER may assign it to different entities over time (page
+    content changes, clusters merge). The history table answers "which
+    entity was this url, when" — the slowly-changing-dimension shape
+    every warehouse models as SCD type 2.
+
+    Gaps-and-islands in two window passes over ONE shuffle key:
+
+    1. partitionBy(id) orderBy(ts): a row opens a new run iff its state
+       differs from lag(state) — the first observation always opens;
+    2. keep only run-opening rows; valid_to = lead(valid_from) within
+       the same id (NULL = still current).
+
+    Both windows and the filter share the hash-partitioning on
+    ``id_col``, so the whole operator is one exchange; per-id work is
+    a sort — the same shape as sessionize above, and skew-safe for the
+    same reason. Rows per output = number of state CHANGES, not
+    observations, so the result is usually orders of magnitude smaller
+    than the log.
+
+    Determinism: ties on (id, ts) are broken by the state value so
+    re-runs produce identical histories on identical logs.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.col(ts_col).asc(), F.col(state_col).asc())
+    # null-safe change detection: a NULL state is a real state (one
+    # run), not a run-per-row; IS DISTINCT FROM on both engines
+    opens = observations.select(id_col, state_col, ts_col).withColumn(
+        "_new_run",
+        ~F.lag(F.col(state_col)).over(w).eqNullSafe(F.col(state_col))
+        | (F.row_number().over(w) == 1),
+    )
+    runs = opens.where(F.col("_new_run")).select(
+        F.col(id_col),
+        F.col(state_col),
+        F.col(ts_col).alias("valid_from"),
+    )
+    w2 = Window.partitionBy(id_col).orderBy(F.col("valid_from").asc())
+    return runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+
+
+def track_history_sql(
+    table: str,
+    id_col: str = "url",
+    state_col: str = "entity_id",
+    ts_col: str = "warc_ts",
+) -> str:
+    """ANSI-SQL mirror of :func:`track_history` (oracle parity)."""
+    return f"""
+        WITH o AS (
+          SELECT {id_col}, {state_col}, {ts_col},
+                 ((lag({state_col}) OVER (
+                     PARTITION BY {id_col}
+                     ORDER BY {ts_col} ASC, {state_col} ASC
+                  ) IS DISTINCT FROM {state_col})
+                  OR row_number() OVER (
+                     PARTITION BY {id_col}
+                     ORDER BY {ts_col} ASC, {state_col} ASC
+                  ) = 1) AS new_run
+          FROM {table}),
+        runs AS (
+          SELECT {id_col}, {state_col}, {ts_col} AS valid_from
+          FROM o WHERE new_run)
+        SELECT {id_col}, {state_col}, valid_from,
+               lead(valid_from) OVER (
+                   PARTITION BY {id_col} ORDER BY valid_from ASC
+               ) AS valid_to
+        FROM runs
+    """

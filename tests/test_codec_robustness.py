@@ -159,3 +159,38 @@ def test_png_with_corrupt_zlib_stream():
         out.append(chunk)
         i += 12 + int(ln)
     _assert_contract(b"".join(out))
+
+
+# --- audio (WAV/PCM16) — same contract, same corruption grid ------------
+
+
+def test_wav_corruptions():
+    from rlr_spark.functions.multimodal import encode_wav_pcm16, parse_wav
+
+    samples = (np.sin(np.linspace(0, 40, 800)) * 20000).astype(np.int16)
+    data = encode_wav_pcm16(samples, sample_rate=8000)
+
+    def contract(payload: bytes):
+        def _raise(signum, frame):  # pragma: no cover
+            raise _Hang("wav parser exceeded wall-clock bound")
+
+        old = signal.signal(signal.SIGALRM, _raise)
+        signal.alarm(_TIMEOUT_S)
+        try:
+            meta, pcm = parse_wav(payload)
+        except _Hang:
+            raise
+        except Exception:
+            return
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+        assert isinstance(pcm, np.ndarray) and pcm.dtype == np.int16
+
+    for n in (1, 4, 8, 12, 20, 44, len(data) // 2, len(data) - 1):
+        if 0 < n < len(data):
+            contract(data[:n])
+    for pos in sorted({int(p) for p in np.linspace(0, len(data) - 1, 48)}):
+        mut = bytearray(data)
+        mut[pos] ^= 0x10
+        contract(bytes(mut))

@@ -103,3 +103,60 @@ def test_sorted_neighborhood_ties_break_by_id(spark):
         ).collect()
     }
     assert got == {(1, 2), (2, 3)}
+
+
+# --- track_history (SCD2 validity intervals) ------------------------------
+
+
+def test_track_history_basic(spark):
+    from datetime import datetime
+
+    from rlr_spark.operators.temporal import track_history
+
+    T = datetime
+    rows = [
+        ("a", "e1", T(2026, 1, 1)),
+        ("a", "e1", T(2026, 1, 2)),   # same run
+        ("a", "e2", T(2026, 1, 3)),   # change
+        ("a", "e1", T(2026, 1, 5)),   # back again -> NEW run, not merged
+        ("b", "e9", T(2026, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows, "url string, entity_id string, warc_ts timestamp")
+    got = sorted(
+        (r["url"], r["entity_id"], r["valid_from"], r["valid_to"])
+        for r in track_history(df).collect()
+    )
+    assert got == [
+        ("a", "e1", T(2026, 1, 1), T(2026, 1, 3)),
+        ("a", "e1", T(2026, 1, 5), None),
+        ("a", "e2", T(2026, 1, 3), T(2026, 1, 5)),
+        ("b", "e9", T(2026, 1, 1), None),
+    ]
+
+
+def test_track_history_null_state_is_a_run(spark):
+    from datetime import datetime
+
+    from rlr_spark.operators.temporal import track_history
+
+    T = datetime
+    rows = [("a", None, T(2026, 1, 1)), ("a", None, T(2026, 1, 2)),
+            ("a", "e1", T(2026, 1, 3))]
+    df = spark.createDataFrame(rows, "url string, entity_id string, warc_ts timestamp")
+    got = track_history(df).collect()
+    # the two NULL observations collapse into ONE run, then e1 opens
+    assert len(got) == 2
+
+
+def test_track_history_single_shuffle(spark):
+    from datetime import datetime
+
+    from rlr_spark.operators.temporal import track_history
+
+    df = spark.createDataFrame(
+        [("a", "e", datetime(2026, 1, 1))],
+        "url string, entity_id string, warc_ts timestamp",
+    )
+    plan = track_history(df)._jdf.queryExecution().executedPlan().toString()
+    # both windows + the filter ride one hash partitioning on the id
+    assert plan.count("Exchange") == 1, plan

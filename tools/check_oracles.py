@@ -36,8 +36,13 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
 
 
 def _norm(v) -> str:
-    if v is None:
-        return "<NULL>"
+    try:
+        if v is None or v != v:  # None, float NaN, pandas NaT (toPandas
+            # maps a NULL timestamp to NaT, which would stringify as
+            # 'NaT' and spuriously mismatch DuckDB's None)
+            return "<NULL>"
+    except (TypeError, ValueError):  # non-scalar v; fall through to str
+        pass
     if isinstance(v, float):
         return f"{v:.6f}"
     if isinstance(v, bool):
