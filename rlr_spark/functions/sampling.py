@@ -80,3 +80,117 @@ def weighted_sample_sql(
         ORDER BY samp_key DESC, {id_col}
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights.
+
+    Features are hashed unigrams: every token lands in one of
+    ``n_buckets`` via an md5-derived bucket (deterministic and
+    bit-mirrorable in ANSI SQL, unlike xxhash64). Two bucket-level
+    unigram models are fit — the TARGET distribution over rows matching
+    ``target_pred`` and the RAW distribution over all rows, both
+    Laplace-smoothed (+1) — and a document's log importance weight is
+    ``sum over its tokens of [ln p_target(bucket) - ln p_raw(bucket)]``:
+    large where the document's hashed-feature profile looks like the
+    target domain, negative where it doesn't.
+
+    Scale shape (100 TB): the bucket models are ``n_buckets``-row
+    aggregates (broadcast back); per-document work is one explode +
+    one groupBy(id, bucket) + a broadcast join — no corpus-sized shuffle
+    beyond the per-doc token collapse, and token duplicates are counted
+    (not distincted), as the LM requires.
+
+    Returns ``(id_col, n_feats, log_weight)`` for every row with >=1
+    token (empty docs carry no evidence and are excluded, documented).
+    """
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("_is_tgt"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    bucketed = toks.select(
+        F.col(id_col),
+        "_is_tgt",
+        (
+            F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("_b"),
+    )
+    # bucket-level token counts: raw = all rows, target = predicate rows.
+    # One pass, conditional aggregation.
+    model = bucketed.groupBy("_b").agg(
+        F.count("*").alias("_cr"),
+        F.sum(F.when(F.col("_is_tgt"), 1).otherwise(0)).alias("_ct"),
+    )
+    totals = model.agg(
+        F.sum("_cr").cast("double").alias("_nr"),
+        F.sum("_ct").cast("double").alias("_nt"),
+    )
+    llr = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "_b",
+            (
+                F.log((F.col("_ct") + 1.0) / (F.col("_nt") + float(n_buckets)))
+                - F.log((F.col("_cr") + 1.0) / (F.col("_nr") + float(n_buckets)))
+            ).alias("_llr"),
+        )
+    )
+    per_doc = bucketed.groupBy(id_col, "_b").agg(F.count("*").alias("_cnt"))
+    return (
+        per_doc.join(F.broadcast(llr), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("n_feats"),
+            F.sum(F.col("_cnt") * F.col("_llr")).alias("log_weight"),
+        )
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target_pred: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR selection: Gumbel-top-k over the importance log-weights.
+
+    Sampling with probability proportional to the importance weight
+    ``exp(log_weight)`` without replacement == taking the top-k of
+    ``log_weight + Gumbel`` (the Gumbel-max trick); the Gumbel draw is
+    deterministic per id (md5-derived uniform, 'dsir:' salt so it is
+    independent of weighted_sample's draw on the same ids). Top-k
+    compiles to TakeOrderedAndProject — per-partition heaps, O(k)
+    driver memory at 10^12 documents.
+
+    Returns ``(id_col, n_feats, log_weight, samp_key)`` for the k
+    selected rows, ordered (samp_key desc, id).
+    """
+    lw = dsir_log_weights(
+        df, target_pred, id_col=id_col, text_col=text_col, n_buckets=n_buckets
+    )
+    u = _unit_hash(F.concat(F.lit("dsir:"), F.col(id_col).cast("string")))
+    key = F.col("log_weight") - F.log(-F.log(u))
+    return (
+        lw.select(
+            F.col(id_col),
+            "n_feats",
+            F.round("log_weight", 6).alias("log_weight"),
+            F.round(key, 6).alias("samp_key"),
+        )
+        .orderBy(F.col("samp_key").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -135,3 +135,51 @@ def jaro_winkler(l: Column, r: Column, cap: int = 64) -> Column:
     """Jaro-Winkler over length-capped prefixes (it's a name comparator;
     capping bounds the O(n·m) matching loop on pathological inputs)."""
     return jaro_winkler_udf(F.substring(l, 1, cap), F.substring(r, 1, cap))
+
+
+# ---------------------------------------------------------------------------
+# Monge-Elkan: token-set comparator over an inner similarity
+# ---------------------------------------------------------------------------
+
+def monge_elkan_scores(
+    pairs,
+    l_col: str,
+    r_col: str,
+    id_cols: list[str],
+    out_col: str = "monge_elkan",
+    max_tokens: int = 8,
+):
+    """Monge-Elkan similarity (Monge & Elkan 1996) with Jaro-Winkler as
+    the inner comparator: ``mean over tokens a of l of max over tokens b
+    of r of jw(a, b)`` — the standard hybrid comparator for multi-token
+    name/title fields, tolerant of token reorderings and per-token typos
+    where whole-string JW and exact token Jaccard both fail.
+
+    DataFrame composition, not a per-pair UDF: the |A|x|B| token cross
+    product is built with explode (bounded by ``max_tokens``^2 rows per
+    pair), Jaro-Winkler runs as the existing Arrow-batched UDF over one
+    flat column, and the max/mean collapse is JVM-side aggregation.
+    Left-token duplicates are preserved (ME averages the multiset), so
+    the left explode carries the token position as part of the group key.
+
+    Asymmetric by definition (mean over the LEFT tokens); callers wanting
+    the symmetric variant take ``greatest(me(l, r), me(r, l))``.
+
+    Pairs whose left side has no tokens score 0.0 (kept via left join,
+    not dropped).
+    """
+    tok = lambda c: F.slice(  # noqa: E731 — local shorthand
+        F.split(F.trim(F.lower(F.col(c))), r"\s+"), 1, max_tokens
+    )
+    base = pairs.select(*id_cols, tok(l_col).alias("_lt"), tok(r_col).alias("_rt"))
+    lx = base.select(*id_cols, "_rt", F.posexplode("_lt").alias("_pos", "_a"))
+    cross = lx.select(*id_cols, "_pos", "_a", F.explode("_rt").alias("_b"))
+    best = cross.withColumn("_jw", jaro_winkler_udf(F.col("_a"), F.col("_b"))).groupBy(
+        *id_cols, "_pos"
+    ).agg(F.max("_jw").alias("_best"))
+    scored = best.groupBy(*id_cols).agg(F.avg("_best").alias(out_col))
+    return (
+        base.select(*id_cols)
+        .join(scored, id_cols, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
+    )
