@@ -171,7 +171,7 @@ _FS_SQL = f"""
 # queries
 # ---------------------------------------------------------------------------
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _primary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from rlr_spark.functions.dedup import (
         exact_dup_groups,
         minhash_dup_pairs,
@@ -1106,6 +1106,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "l_id_col string, r_id_col string, n_groups int, n_labels int, cursor int",
         )
 
+    # -- meta-blocking: shingle blocks -> purge -> CBS blocking graph ->
+    # weighted-node pruning (Papadakis et al. TKDE 2014). CBS weights are
+    # integer-valued doubles, so the WNP threshold comparison is exact in
+    # both engines; JS/ECBS/ARCS are brute-force-verified in pytest. ---------
+    def meta_blocking(spark, sf_dir):
+        from rlr_spark.operators.metablocking import meta_blocking_pairs
+
+        return meta_blocking_pairs(
+            _t(spark, sf_dir, "documents"),
+            scheme="cbs",
+            prune="wnp",
+            mode="or",
+            purge_cap=64,
+        ).select("l_id", "r_id", F.round("weight", 6).alias("weight"))
+
+    # -- Monge-Elkan token-set comparator (JW inner, DuckDB-exact) over
+    # sampled within-source pairs --------------------------------------------
+    def monge_elkan(spark, sf_dir):
+        from rlr_spark.functions.similarity import monge_elkan_scores
+
+        p = (
+            _doc_pairs_same_source(spark, sf_dir)
+            .where((F.col("l_id") % 7 == 0) & (F.col("r_id") % 7 == 0))
+            .where((F.trim(F.col("l_text")) != "") & (F.trim(F.col("r_text")) != ""))
+        )
+        out = monge_elkan_scores(
+            p, "l_text", "r_text", id_cols=["l_id", "r_id"], max_tokens=8
+        )
+        return out.select(
+            "l_id", "r_id", F.round("monge_elkan", 6).alias("monge_elkan")
+        )
+
+    # -- DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    # bucket LMs (md5 buckets — bit-mirrorable), Gumbel-top-k selection -------
+    def dsir_sample(spark, sf_dir):
+        from rlr_spark.functions.sampling import dsir_sample as dsir
+
+        return dsir(
+            _t(spark, sf_dir, "documents"),
+            F.col("source") == "src0",
+            k=100,
+            n_buckets=64,
+        )
+
     # REGISTRY BUDGET: the driver's correctness harness checks at most
     # DRIVER_QUERY_BUDGET entries (in dict order). Keep this dict at or
     # under that size so EVERY registered operator gets a driver-green
@@ -1164,10 +1208,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": length_quantiles,
         "text_bigram_lm": text_bigram_lm,
         "pack_sequences": pack_sequences,
+        "meta_blocking": meta_blocking,
+        "monge_elkan": monge_elkan,
+        "dsir_sample": dsir_sample,
     }
 
 
-# the driver checks this many queries() entries per round; the dict above
+# the driver checks this many queries() entries per round; queries()
 # must never outgrow it (tests/test_entry.py::test_registry_budget)
 DRIVER_QUERY_BUDGET = 50
 
@@ -1180,14 +1227,38 @@ _EXTENDED = (
     "text_unigram_lm",
     "emb_ann_ivf",
     "emb_ann_lsh",
-    "review_uncertainty",
-    "threshold_sweep",
-    "blocking_quality",
     "entity_history",
+    # round-6 rotation: newest/least-proven operators take the driver's
+    # 50 checked rows (review_uncertainty, threshold_sweep,
+    # blocking_quality promoted; meta_blocking, monge_elkan, dsir_sample
+    # new); these six are r5-driver-green with their families still
+    # represented in the driver window, so they keep full oracle
+    # coverage here (tools/check_oracles.py checks BOTH sets each round)
+    "text_pii",
+    "url_dedup",
+    "vocab_stats",
+    "text_repetition",
+    "emb_neardup",
+    "text_quality",
 )
 
 
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Driver-facing registry: the full query set minus ``_EXTENDED``,
+    in definition order (primary first, promoted secondary entries
+    last). tests/test_entry.py pins the <= 50 budget."""
+    full = {**_primary_queries(), **_secondary_queries()}
+    return {k: v for k, v in full.items() if k not in _EXTENDED}
+
+
 def extended_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Entries checked ONLY by tools/check_oracles.py (same three-way
+    methodology, outside the driver's 50-row budget)."""
+    full = {**_primary_queries(), **_secondary_queries()}
+    return {k: full[k] for k in _EXTENDED}
+
+
+def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from rlr_spark.functions.dedup import ngram_jaccard
     from rlr_spark.functions.embeddings import lsh_topk
 
@@ -2353,5 +2424,107 @@ def _oracle_sql_full() -> dict[str, str]:
             )
             SELECT node AS doc_id, min(comp) AS entity_id
             FROM walk GROUP BY node
+        """,
+        # independent SQL meta-blocking: STRING 3-shingles (the Spark side
+        # blocks on xxhash64 shingle identities — equal membership modulo
+        # 64-bit collisions, which would fail this check loudly), purge to
+        # 2..64, CBS weights, WNP-or pruning. CBS weights are small exact
+        # integers in double, so the >= threshold compare is cross-engine
+        # deterministic.
+        "meta_blocking": """
+            WITH tl AS (
+              SELECT doc_id, string_split(trim(lower(text)), ' ') AS ts
+              FROM documents),
+            sh AS (
+              SELECT doc_id, unnest(CASE WHEN len(ts) >= 3
+                THEN list_distinct(list_transform(range(1, len(ts) - 1),
+                       i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2]))
+                ELSE [array_to_string(ts, ' ')] END) AS bk
+              FROM tl),
+            bs AS (SELECT bk, count(*) AS nb FROM sh GROUP BY bk),
+            posts AS (
+              SELECT sh.doc_id, sh.bk FROM sh JOIN bs USING (bk)
+              WHERE nb BETWEEN 2 AND 64),
+            co AS (
+              SELECT a.doc_id AS l_id, b.doc_id AS r_id,
+                     count(*)::DOUBLE AS w
+              FROM posts a JOIN posts b USING (bk)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+            thr AS (
+              SELECT node, avg(w) AS t FROM (
+                SELECT l_id AS node, w FROM co
+                UNION ALL SELECT r_id, w FROM co)
+              GROUP BY node)
+            SELECT co.l_id, co.r_id, round(co.w, 6) AS weight
+            FROM co
+            JOIN thr nl ON nl.node = co.l_id
+            JOIN thr nr ON nr.node = co.r_id
+            WHERE co.w >= nl.t OR co.w >= nr.t
+        """,
+        # Monge-Elkan with DuckDB's jaro_winkler_similarity as the inner
+        # comparator (bit-identical to functions/similarity.jaro_winkler_py
+        # — the c2 parity); left positions keep token multiplicity
+        "monge_elkan": f"""
+            WITH p AS (
+              SELECT l_id, r_id, l_text, r_text FROM ({_PAIR_SQL})
+              WHERE l_id % 7 = 0 AND r_id % 7 = 0
+                AND trim(l_text) <> '' AND trim(r_text) <> ''),
+            t AS (
+              SELECT l_id, r_id,
+                     string_split(trim(lower(l_text)), ' ')[1:8] AS la,
+                     string_split(trim(lower(r_text)), ' ')[1:8] AS ra
+              FROM p),
+            lx AS (
+              SELECT l_id, r_id, la, ra,
+                     unnest(range(1, len(la) + 1)) AS pos
+              FROM t),
+            cx AS (
+              SELECT l_id, r_id, pos, la[pos] AS a, unnest(ra) AS b
+              FROM lx),
+            best AS (
+              SELECT l_id, r_id, pos,
+                     max(jaro_winkler_similarity(a, b)) AS bst
+              FROM cx GROUP BY l_id, r_id, pos)
+            SELECT l_id, r_id, round(avg(bst), 6) AS monge_elkan
+            FROM best GROUP BY l_id, r_id
+        """,
+        # DSIR: identical md5 bucket hash, Laplace-smoothed bucket LLRs,
+        # Gumbel key from the same 'dsir:'-salted unit hash; ordered on the
+        # UNROUNDED key exactly like functions/sampling.dsir_sample
+        "dsir_sample": f"""
+            WITH tok AS (
+              SELECT doc_id, source,
+                     unnest(string_split(trim(lower(text)), ' ')) AS tok
+              FROM documents WHERE trim(lower(text)) <> ''),
+            bt AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b
+              FROM tok WHERE tok <> ''),
+            model AS (
+              SELECT b, count(*)::DOUBLE AS cr,
+                     sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::DOUBLE AS ct
+              FROM bt GROUP BY b),
+            tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM model),
+            llr AS (
+              SELECT b, ln((ct + 1.0) / (nt + 64.0))
+                      - ln((cr + 1.0) / (nr + 64.0)) AS llr
+              FROM model, tot),
+            per AS (SELECT doc_id, b, count(*)::BIGINT AS cnt
+                    FROM bt GROUP BY doc_id, b),
+            w AS (
+              SELECT doc_id, sum(cnt)::BIGINT AS n_feats,
+                     sum(cnt * llr) AS lw
+              FROM per JOIN llr USING (b) GROUP BY doc_id),
+            keyed AS (
+              SELECT doc_id, n_feats, lw,
+                     lw - ln(-ln((('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 8))::BIGINT + 1.0)
+                                 / {float(2**32 + 2)})) AS k
+              FROM w)
+            SELECT doc_id, n_feats, round(lw, 6) AS log_weight,
+                   round(k, 6) AS samp_key
+            FROM keyed
+            ORDER BY k DESC, doc_id
+            LIMIT 100
         """,
     }

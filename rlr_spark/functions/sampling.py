@@ -184,13 +184,17 @@ def dsir_sample(
     )
     u = _unit_hash(F.concat(F.lit("dsir:"), F.col(id_col).cast("string")))
     key = F.col("log_weight") - F.log(-F.log(u))
-    return (
-        lw.select(
-            F.col(id_col),
-            "n_feats",
-            F.round("log_weight", 6).alias("log_weight"),
-            F.round(key, 6).alias("samp_key"),
-        )
-        .orderBy(F.col("samp_key").desc(), F.col(id_col))
+    # order on the UNROUNDED key (the rounded value is display-only; an
+    # oracle ordering on the same unrounded expression then agrees on
+    # the k-th boundary)
+    top = (
+        lw.select(F.col(id_col), "n_feats", "log_weight", key.alias("_k"))
+        .orderBy(F.col("_k").desc(), F.col(id_col))
         .limit(k)
+    )
+    return top.select(
+        F.col(id_col),
+        "n_feats",
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("_k", 6).alias("samp_key"),
     )
