@@ -1240,6 +1240,9 @@ _EXTENDED = (
     "text_repetition",
     "emb_neardup",
     "text_quality",
+    # new this round, defined in the secondary builder
+    "fs_tf_score",
+    "cluster_bcubed",
 )
 
 
@@ -1359,6 +1362,60 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n = _t(spark, sf_dir, "documents").count()
         return bq(cand, truth, n_records=n)
 
+    # -- TF-adjusted Fellegi-Sunter: rare-value agreement outweighs
+    # common-value agreement (Winkler's frequency-based matching) ------------
+    def fs_tf_score(spark, sf_dir):
+        from rlr_spark.operators.scoring import fs_score_tf
+
+        first2 = lambda c: F.concat_ws(  # noqa: E731
+            " ", F.slice(F.split(F.trim(F.lower(F.col(c))), r"\s+"), 1, 2)
+        )
+        d = _t(spark, sf_dir, "documents")
+        recs = d.select("doc_id", first2("text").alias("name"), "lang")
+        p = _doc_pairs_same_source(spark, sf_dir).where(
+            (F.col("l_id") % 5 == 0) & (F.col("r_id") % 5 == 0)
+        )
+        pairs = p.select(
+            "l_id",
+            "r_id",
+            first2("l_text").alias("l_name"),
+            first2("r_text").alias("r_name"),
+            "l_lang",
+            "r_lang",
+        )
+        out = fs_score_tf(pairs, recs, {"name": (0.95, 0.05), "lang": (0.9, 0.3)})
+        return out.select(
+            "l_id", "r_id", F.round("fs_score_tf", 6).alias("fs_score_tf")
+        )
+
+    # -- B-cubed P/R/F1 of the CC clustering vs exact-duplicate truth --------
+    def cluster_bcubed(spark, sf_dir):
+        from rlr_spark.operators.cluster import connected_components
+        from rlr_spark.operators.evaluate import bcubed
+
+        scored = _fs_scored_pairs(spark, sf_dir).localCheckpoint(eager=False)
+        edges = scored.where(F.col("rlr_label") == "Match").select(
+            F.col("l_id").alias("u"), F.col("r_id").alias("v")
+        )
+        docs = _t(spark, sf_dir, "documents")
+        pred = (
+            docs.select("doc_id")
+            .join(
+                connected_components(edges),
+                F.col("doc_id") == F.col("node"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce(F.col("entity_id"), F.col("doc_id")).alias("entity_id"),
+            )
+        )
+        h = docs.select("doc_id", F.md5(F.col("text")).alias("_h"))
+        truth = h.join(
+            h.groupBy("_h").agg(F.min("doc_id").alias("_t")), "_h"
+        ).select("doc_id", F.col("_t").alias("entity_id"))
+        return bcubed(pred, truth)
+
     return {
         "dedup_ngram": dedup_ngram,
         "text_unigram_lm": text_unigram_lm,
@@ -1368,6 +1425,8 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": threshold_sweep,
         "blocking_quality": blocking_quality,
         "entity_history": entity_history,
+        "fs_tf_score": fs_tf_score,
+        "cluster_bcubed": cluster_bcubed,
     }
 
 
@@ -2526,5 +2585,72 @@ def _oracle_sql_full() -> dict[str, str]:
             FROM keyed
             ORDER BY k DESC, doc_id
             LIMIT 100
+        """,
+        # TF-adjusted FS: identical per-field frequency tables (share of
+        # ALL records), identical clamps, log2 ratio on agreement, the
+        # field-level disagreement weight otherwise
+        "fs_tf_score": f"""
+            WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            recs AS (
+              SELECT doc_id,
+                     array_to_string(string_split(trim(lower(text)), ' ')[1:2], ' ') AS name,
+                     lang
+              FROM documents),
+            ntf AS (
+              SELECT lower(trim(name)) AS v, count(*)::DOUBLE / n.n AS tf
+              FROM recs, n WHERE name IS NOT NULL GROUP BY 1, n.n),
+            ltf AS (
+              SELECT lower(trim(lang)) AS v, count(*)::DOUBLE / n.n AS tf
+              FROM recs, n WHERE lang IS NOT NULL GROUP BY 1, n.n),
+            p AS (
+              SELECT l_id, r_id,
+                     array_to_string(string_split(trim(lower(l_text)), ' ')[1:2], ' ') AS l_name,
+                     array_to_string(string_split(trim(lower(r_text)), ' ')[1:2], ' ') AS r_name,
+                     l_lang, r_lang
+              FROM ({_PAIR_SQL}) WHERE l_id % 5 = 0 AND r_id % 5 = 0)
+            SELECT l_id, r_id, round(
+              (CASE WHEN l_name IS NOT NULL AND r_name IS NOT NULL
+                      AND lower(trim(l_name)) = lower(trim(r_name))
+                THEN log2(0.95 / least(greatest(coalesce(ntf.tf, 1.0), 1e-6), 1 - 1e-6))
+                ELSE log2((1 - 0.95) / (1 - 0.05)) END)
+              + (CASE WHEN l_lang IS NOT NULL AND r_lang IS NOT NULL
+                        AND lower(trim(l_lang)) = lower(trim(r_lang))
+                THEN log2(0.9 / least(greatest(coalesce(ltf.tf, 1.0), 1e-6), 1 - 1e-6))
+                ELSE log2((1 - 0.9) / (1 - 0.3)) END), 6) AS fs_score_tf
+            FROM p
+            LEFT JOIN ntf ON lower(trim(p.l_name)) = ntf.v
+            LEFT JOIN ltf ON lower(trim(p.l_lang)) = ltf.v
+        """,
+        # B-cubed of the recursive-CTE connected components vs exact
+        # (md5 text) duplicate truth — same aggregate collapse as
+        # operators/evaluate.bcubed
+        "cluster_bcubed": f"""
+            WITH RECURSIVE sc AS ({_FS_SQL}),
+            e(src, dst) AS (
+              SELECT l_id, r_id FROM sc WHERE rlr_label = 'Match'
+              UNION ALL
+              SELECT r_id, l_id FROM sc WHERE rlr_label = 'Match'),
+            walk(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.node),
+            pred AS (SELECT node AS id, min(comp) AS c FROM walk GROUP BY node),
+            tr AS (
+              SELECT doc_id AS id,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS t
+              FROM documents),
+            bo AS (SELECT pred.id, c, t FROM pred JOIN tr USING (id)),
+            nct AS (SELECT c, t, count(*)::DOUBLE AS nct FROM bo GROUP BY c, t),
+            nc AS (SELECT c, count(*)::DOUBLE AS nc FROM bo GROUP BY c),
+            nt AS (SELECT t, count(*)::DOUBLE AS nt FROM bo GROUP BY t),
+            agg AS (
+              SELECT sum(nct * nct / nc) AS sp, sum(nct * nct / nt) AS sr,
+                     sum(nct)::BIGINT AS n
+              FROM nct JOIN nc USING (c) JOIN nt USING (t))
+            SELECT n AS n_records,
+                   round(sp / n, 6) AS bcubed_precision,
+                   round(sr / n, 6) AS bcubed_recall,
+                   round(2 * (sp / n) * (sr / n) / ((sp / n) + (sr / n)), 6) AS bcubed_f1
+            FROM agg
         """,
     }

@@ -134,3 +134,53 @@ def blocking_quality(
             F.lit(1.0) - F.col("n_candidates") / F.lit(total_pairs), round_to
         ).alias("reduction_ratio"),
     )
+
+
+def bcubed(
+    assign: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "entity_id",
+    truth_col: str = "entity_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """B-cubed cluster precision/recall/F1 (Bagga & Baldwin 1998) — the
+    standard extrinsic metric for ER *clusterings* (pairwise F1
+    over-weights big clusters; B-cubed averages per RECORD, so a
+    mangled singleton costs as much as a mangled hub member).
+
+    Per record e: precision(e) = |C(e) ∩ T(e)| / |C(e)|, recall(e) =
+    |C(e) ∩ T(e)| / |T(e)|, averaged over records. The per-record pass
+    is algebraically collapsed into aggregates:
+
+        P = (1/N) * sum over (c, t) of n_ct^2 / n_c
+        R = (1/N) * sum over (c, t) of n_ct^2 / n_t
+
+    so the whole metric is one groupBy(c, t) + two size joins + a final
+    1-row aggregate — no per-record fan-out, no driver collect, linear
+    in records at 10^12 docs. Records present in only one of the two
+    assignments are dropped (inner join) — evaluate like-for-like.
+    """
+    a = assign.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c"))
+    t = truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("_t"))
+    both = a.join(t, "_id")
+    n_ct = both.groupBy("_c", "_t").agg(F.count("*").alias("_nct"))
+    n_c = both.groupBy("_c").agg(F.count("*").alias("_nc"))
+    n_t = both.groupBy("_t").agg(F.count("*").alias("_nt"))
+    per = (
+        n_ct.join(n_c, "_c")
+        .join(n_t, "_t")
+        .agg(
+            F.sum(F.col("_nct") * F.col("_nct") / F.col("_nc")).alias("_sp"),
+            F.sum(F.col("_nct") * F.col("_nct") / F.col("_nt")).alias("_sr"),
+            F.sum("_nct").alias("n_records"),
+        )
+    )
+    p = F.col("_sp") / F.col("n_records")
+    r = F.col("_sr") / F.col("n_records")
+    return per.select(
+        "n_records",
+        F.round(p, round_to).alias("bcubed_precision"),
+        F.round(r, round_to).alias("bcubed_recall"),
+        F.round(2 * p * r / (p + r), round_to).alias("bcubed_f1"),
+    )

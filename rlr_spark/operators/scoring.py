@@ -249,3 +249,70 @@ def review_queue(
         out.withColumn("queue_rank", F.row_number().over(w))
         .where(F.col("queue_rank") <= k)
     )
+
+
+def fs_score_tf(
+    pairs: DataFrame,
+    records: DataFrame,
+    fields: dict[str, tuple[float, float]],
+    score_col: str = "fs_score_tf",
+    min_tf: float = _EPS,
+) -> DataFrame:
+    """Fellegi-Sunter score with term-frequency-adjusted agreement
+    weights (Fellegi & Sunter 1969 §3.3.2; Winkler 1989's frequency-
+    based matching — the adjustment Splink ships as "term frequency
+    adjustments").
+
+    The plain scorer gives agreement on "smith" the same weight as
+    agreement on "zabriskie"; but u — the chance two NON-matching
+    records agree — is value-specific: it is (approximately) the
+    value's relative frequency. So on agreement the per-field term
+    becomes ``log2(m / tf(v))`` where ``tf(v)`` is the shared value's
+    share of records, clamped to ``[min_tf, 1-eps]``; disagreement
+    keeps the field-level ``log2((1-m)/(1-u))`` (disagreement evidence
+    is not value-specific).
+
+    ``pairs`` must carry ``l_<field>``/``r_<field>`` columns; ``records``
+    carries ``<field>``. Values are compared on the reference
+    comparator's normalization (strip -> lower,
+    pages/02_Linkage_Review.py:139-140). NULL on either side counts as
+    disagreement (no evidence of identity).
+
+    Scale shape: one groupBy per field over the RECORDS (value
+    frequency tables are field-cardinality-sized); each table joins to
+    the pairs on the left value — Catalyst broadcasts the small ones,
+    and AQE handles a genuinely huge vocabulary with a shuffle join.
+    The scoring itself stays pure column arithmetic.
+    """
+    if not fields:
+        raise ValueError("fields must name at least one (m, u) entry")
+    norm = lambda c: F.lower(F.trim(c))  # noqa: E731
+    n_rec = records.count()
+    out = pairs
+    total = None
+    for f, (m, u) in fields.items():
+        mc = min(max(m, _EPS), 1 - _EPS)
+        uc = min(max(u, _EPS), 1 - _EPS)
+        tf = (
+            records.where(F.col(f).isNotNull())
+            .groupBy(norm(F.col(f)).alias(f"_v_{f}"))
+            .agg((F.count("*") / F.lit(float(n_rec))).alias(f"_tf_{f}"))
+        )
+        out = out.join(
+            tf, norm(F.col(f"l_{f}")) == F.col(f"_v_{f}"), "left"
+        ).drop(f"_v_{f}")
+        agree = (
+            F.col(f"l_{f}").isNotNull()
+            & F.col(f"r_{f}").isNotNull()
+            & (norm(F.col(f"l_{f}")) == norm(F.col(f"r_{f}")))
+        )
+        tf_clamped = F.least(
+            F.greatest(F.coalesce(F.col(f"_tf_{f}"), F.lit(1.0)), F.lit(min_tf)),
+            F.lit(1 - _EPS),
+        )
+        term = F.when(
+            agree, F.log2(F.lit(mc) / tf_clamped)
+        ).otherwise(F.lit(math.log2((1 - mc) / (1 - uc))))
+        total = term if total is None else total + term
+    out = out.withColumn(score_col, total)
+    return out.drop(*[f"_tf_{f}" for f in fields])
