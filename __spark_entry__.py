@@ -1243,6 +1243,9 @@ _EXTENDED = (
     # new this round, defined in the secondary builder
     "fs_tf_score",
     "cluster_bcubed",
+    "match_one_to_one",
+    "linkage_waterfall",
+    "hll_tokens",
 )
 
 
@@ -1416,6 +1419,69 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.col("_t").alias("entity_id"))
         return bcubed(pred, truth)
 
+    # -- iterated mutual-best 1:1 assignment over the scored pairs ----------
+    # (operators/matching.py — the distributed one-to-one linkage step
+    # the reference leaves to the human reviewer; rounds=2 so the
+    # oracle also value-checks the exclusion+rematch iteration)
+    def match_one_to_one(spark, sf_dir):
+        from rlr_spark.operators.matching import one_to_one_match
+
+        scored = _fs_scored_pairs(spark, sf_dir).where(F.col("jaccard") > 0)
+        return one_to_one_match(
+            scored.select("l_id", "r_id", "jaccard"),
+            score_col="jaccard",
+            rounds=2,
+        )
+
+    # -- multi-pass linkage waterfall: exact text (pass 1) then fuzzy
+    # jaccard >= 0.3 (pass 2); earliest pass claims each left record ---------
+    def waterfall(spark, sf_dir):
+        from rlr_spark.operators.matching import linkage_waterfall
+
+        d = _t(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text", F.md5("text").alias("_h")
+        )
+        a = d.select(
+            F.col("doc_id").alias("l_id"), "source",
+            F.col("_h").alias("_lh"),
+        )
+        b = d.select(
+            F.col("doc_id").alias("r_id"), "source",
+            F.col("_h").alias("_rh"),
+        )
+        exact = (
+            a.join(b, "source")
+            .where((F.col("l_id") < F.col("r_id")) & (F.col("_lh") == F.col("_rh")))
+            .select("l_id", "r_id", F.lit(1.0).alias("score"))
+        )
+        fuzzy = (
+            _fs_scored_pairs(spark, sf_dir)
+            .where(F.col("jaccard") >= 0.3)
+            .select("l_id", "r_id", F.col("jaccard").alias("score"))
+        )
+        return linkage_waterfall(
+            [("exact_text", exact), ("jaccard_0.3", fuzzy)], score_col="score"
+        )
+
+    # -- deterministic HyperLogLog: per-lang distinct-token estimate
+    # next to the exact count (functions/sketches.py — md5-derived,
+    # exact-in-IEEE fold, so DuckDB rebuilds the identical estimate) ---------
+    def hll_tokens(spark, sf_dir):
+        from rlr_spark.functions.sketches import hll_distinct
+        from rlr_spark.functions.similarity import norm_tokens
+
+        toks = (
+            _t(spark, sf_dir, "documents")
+            .select("lang", F.explode(norm_tokens(F.col("text"))).alias("tok"))
+        )
+        est = hll_distinct(toks, ["lang"], "tok", p=6)
+        exact = toks.groupBy("lang").agg(
+            F.countDistinct("tok").alias("exact_distinct")
+        )
+        return est.join(exact, "lang").select(
+            "lang", "hll_estimate", "exact_distinct"
+        )
+
     return {
         "dedup_ngram": dedup_ngram,
         "text_unigram_lm": text_unigram_lm,
@@ -1427,6 +1493,9 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_history": entity_history,
         "fs_tf_score": fs_tf_score,
         "cluster_bcubed": cluster_bcubed,
+        "match_one_to_one": match_one_to_one,
+        "linkage_waterfall": waterfall,
+        "hll_tokens": hll_tokens,
     }
 
 
@@ -1451,6 +1520,30 @@ def _pagerank_oracle() -> str:
 
     # same parameterization as graph_pagerank above
     return pagerank_sql(n_iter=10, damping=0.85, out_degree=4)
+
+
+def _hll_tokens_oracle() -> str:
+    """Per-lang HLL distinct-token estimate + exact, via the generated
+    sketch SQL (functions/sketches.py hll_sql — same constants as the
+    Spark plan). Token CTE mirrors norm_tokens: trim+lower, \\s+ split,
+    per-doc distinct, empty/NULL text yields no rows."""
+    from rlr_spark.functions.sketches import hll_sql
+
+    toks = (
+        "(SELECT lang, unnest(list_distinct("
+        "string_split_regex(trim(lower(text)), '\\s+'))) AS tok "
+        "FROM documents "
+        "WHERE text IS NOT NULL AND trim(lower(text)) <> '') t"
+    )
+    inner = hll_sql(toks, ["lang"], "tok", p=6)
+    return f"""
+        WITH est AS ({inner}),
+        exact AS (
+          SELECT lang, count(DISTINCT tok) AS exact_distinct
+          FROM {toks}2 GROUP BY lang)
+        SELECT est.lang, hll_estimate, exact_distinct
+        FROM est JOIN exact USING (lang)
+    """
 
 
 def _bm25_oracle() -> str:
@@ -2653,4 +2746,54 @@ def _oracle_sql_full() -> dict[str, str]:
                    round(2 * (sp / n) * (sr / n) / ((sp / n) + (sr / n)), 6) AS bcubed_f1
             FROM agg
         """,
+        # iterated mutual-best 1:1 (operators/matching.py): round 1 =
+        # pairs that are row_number-1 for BOTH endpoints (score desc,
+        # partner asc tie-break); round 2 = same over the remainder
+        # after excluding matched endpoints per side
+        "match_one_to_one": f"""
+            WITH sc AS (
+              SELECT l_id, r_id, jaccard FROM ({_FS_SQL}) WHERE jaccard > 0),
+            r1 AS (
+              SELECT l_id, r_id, jaccard,
+                row_number() OVER (PARTITION BY l_id ORDER BY jaccard DESC, r_id ASC) AS rl,
+                row_number() OVER (PARTITION BY r_id ORDER BY jaccard DESC, l_id ASC) AS rr
+              FROM sc),
+            m1 AS (SELECT l_id, r_id, jaccard FROM r1 WHERE rl = 1 AND rr = 1),
+            rem AS (
+              SELECT * FROM sc
+              WHERE l_id NOT IN (SELECT l_id FROM m1)
+                AND r_id NOT IN (SELECT r_id FROM m1)),
+            r2 AS (
+              SELECT l_id, r_id, jaccard,
+                row_number() OVER (PARTITION BY l_id ORDER BY jaccard DESC, r_id ASC) AS rl,
+                row_number() OVER (PARTITION BY r_id ORDER BY jaccard DESC, l_id ASC) AS rr
+              FROM rem),
+            m2 AS (SELECT l_id, r_id, jaccard FROM r2 WHERE rl = 1 AND rr = 1)
+            SELECT l_id, r_id, jaccard, 1 AS match_round FROM m1
+            UNION ALL
+            SELECT l_id, r_id, jaccard, 2 AS match_round FROM m2
+        """,
+        # multi-pass waterfall (operators/matching.py): union of
+        # pass-tagged candidates, one window per left endpoint ordered
+        # (pass_rank asc, score desc, r_id asc)
+        "linkage_waterfall": f"""
+            WITH exact AS (
+              SELECT a.doc_id AS l_id, b.doc_id AS r_id, 1.0::DOUBLE AS score,
+                     'exact_text' AS pass_name, 1 AS pass_rank
+              FROM documents a JOIN documents b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+               AND md5(a.text) = md5(b.text)),
+            fuzzy AS (
+              SELECT l_id, r_id, jaccard AS score,
+                     'jaccard_0.3' AS pass_name, 2 AS pass_rank
+              FROM ({_FS_SQL}) WHERE jaccard >= 0.3),
+            u AS (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy),
+            rn AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY l_id
+                ORDER BY pass_rank ASC, score DESC, r_id ASC) AS rn
+              FROM u)
+            SELECT l_id, r_id, score, pass_name, pass_rank FROM rn WHERE rn = 1
+        """,
+        "hll_tokens": _hll_tokens_oracle(),
     }

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "emb_topk_cosine",
     "j1_pair_record_join",
+    "meta_blocking",
 ]
 
 

@@ -1,0 +1,170 @@
+"""Post-scoring assignment: 1:1 matching and multi-pass linkage.
+
+The reference scores pairs and leaves many-to-many links in place
+(backend/rlr.py keeps every pair row; the reviewer resolves conflicts
+by hand). Production record linkage almost always needs two more
+steps after scoring, both absent from the reference and from this
+repo until now:
+
+- **one-to-one assignment** — when each left record can match at most
+  one right record (census-to-census, invoice-to-payment), the scored
+  many-to-many pair table must be thinned to an injective mapping.
+  The exact optimum is weighted bipartite matching (Hungarian —
+  inherently sequential, O(n^3), not distributable); the standard
+  distributed relaxation is *mutual best match* (a pair survives iff
+  it is the top-scored pair for BOTH its endpoints), optionally
+  iterated: remove matched endpoints and re-run on the remainder, so
+  second-choice pairs can match once their competitors are taken.
+  Iterated mutual-best is exactly the greedy algorithm restricted to
+  locally-verifiable decisions — every pair it emits is also emitted
+  by global greedy, and k rounds recover all greedy matches whose
+  "conflict chain" is shorter than k.
+
+- **linkage waterfall** — multi-pass deterministic-then-probabilistic
+  matching (the classic census/admin-data design): pass 1 links on an
+  exact high-precision key, pass 2+ on progressively looser rules,
+  and a left record is claimed by the EARLIEST pass that links it.
+  Pass attribution (which rule produced each link) is kept, because
+  downstream consumers weight links by pass precision.
+
+Scale shape: both operators are pure DataFrame window/join plans.
+Mutual-best is two `row_number` windows (one exchange per endpoint
+column) over the scored-pair table; the waterfall is a union of
+per-pass candidate tables followed by one window per (left) endpoint.
+No UDFs, no collects, no driver-side loops over data — the only
+driver loop is the bounded `rounds` iteration, each round shrinking
+the pair table by the matched endpoints (broadcast-joined exclusion
+when small, shuffle anti-join otherwise, picked by AQE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _best_rank(
+    score_col: str, partition: str, partner: str
+) -> Column:
+    """row_number of the pair within its `partition` endpoint, best
+    score first, partner id ascending as the deterministic tie-break."""
+    w = Window.partitionBy(partition).orderBy(
+        F.col(score_col).desc(), F.col(partner).asc()
+    )
+    return F.row_number().over(w)
+
+
+def mutual_best_match(
+    scored: DataFrame,
+    score_col: str = "score",
+    left_col: str = "l_id",
+    right_col: str = "r_id",
+) -> DataFrame:
+    """Keep a pair iff it is the best-scored pair for both endpoints.
+
+    Ties broken by ascending partner id, so the output is a
+    deterministic function of the input regardless of partitioning.
+    The result is an injective partial matching (each l_id and each
+    r_id appears at most once) — the distributed 1:1 assignment
+    primitive.
+
+    Plan: two row_number windows = two hash exchanges on the pair
+    table (by left endpoint, then by right endpoint); no joins.
+    """
+    return (
+        scored.withColumn("_rl", _best_rank(score_col, left_col, right_col))
+        .withColumn("_rr", _best_rank(score_col, right_col, left_col))
+        .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
+        .drop("_rl", "_rr")
+    )
+
+
+def one_to_one_match(
+    scored: DataFrame,
+    score_col: str = "score",
+    left_col: str = "l_id",
+    right_col: str = "r_id",
+    rounds: int = 3,
+) -> DataFrame:
+    """Iterated mutual-best 1:1 assignment.
+
+    Round k: take the mutual-best matches of the remaining pairs, then
+    drop every pair touching a matched endpoint and repeat. Adds a
+    ``match_round`` column (1-based). ``rounds=1`` is plain
+    :func:`mutual_best_match`; more rounds let second-choice pairs
+    match after their competition is claimed (the greedy-matching
+    recovery). The loop is driver-bounded (``rounds`` iterations),
+    each iteration one localCheckpoint to cap lineage — state size is
+    the shrinking pair table, never collected.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    remaining = scored
+    out: DataFrame | None = None
+    for rnd in range(1, rounds + 1):
+        matched = mutual_best_match(
+            remaining, score_col=score_col, left_col=left_col, right_col=right_col
+        ).withColumn("match_round", F.lit(rnd))
+        out = matched if out is None else out.unionByName(matched)
+        if rnd == rounds:
+            break
+        # exclude both endpoints of every match made so far; the
+        # matched table is at most one row per endpoint so it is
+        # usually broadcast-sized relative to `remaining`
+        taken_l = out.select(F.col(left_col)).distinct()
+        taken_r = out.select(F.col(right_col)).distinct()
+        remaining = (
+            remaining.join(taken_l, on=left_col, how="left_anti")
+            .join(taken_r, on=right_col, how="left_anti")
+            .localCheckpoint(eager=False)
+        )
+    assert out is not None
+    return out
+
+
+def linkage_waterfall(
+    passes: list[tuple[str, DataFrame]],
+    score_col: str = "score",
+    left_col: str = "l_id",
+    right_col: str = "r_id",
+) -> DataFrame:
+    """Multi-pass linkage: earliest pass claims each left record.
+
+    ``passes`` is an ordered list of (pass_name, candidate_links) —
+    each DataFrame holds (left_col, right_col, score_col) rows from
+    one matching rule, highest-precision rule first. Semantics: a
+    left record is linked by the FIRST pass (list order) that
+    produced any candidate for it; within that pass its single best
+    candidate wins (score desc, right id asc). Output columns:
+    (left_col, right_col, score_col, pass_name, pass_rank).
+
+    Plan: union of pass tables tagged with their rank, then ONE
+    window partitioned by the left endpoint ordering by (pass_rank
+    asc, score desc, right id asc) — a single exchange regardless of
+    how many passes there are. This is deliberately NOT a per-pass
+    anti-join cascade: that shape is one shuffle per pass and
+    re-scans the left table k times; the union+window shape scans
+    each candidate table once.
+    """
+    if not passes:
+        raise ValueError("at least one pass required")
+    tagged: DataFrame | None = None
+    for rank, (name, links) in enumerate(passes, start=1):
+        t = links.select(
+            F.col(left_col),
+            F.col(right_col),
+            F.col(score_col).cast("double").alias(score_col),
+            F.lit(name).alias("pass_name"),
+            F.lit(rank).alias("pass_rank"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    assert tagged is not None
+    w = Window.partitionBy(left_col).orderBy(
+        F.col("pass_rank").asc(), F.col(score_col).desc(), F.col(right_col).asc()
+    )
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
