@@ -1246,6 +1246,8 @@ _EXTENDED = (
     "match_one_to_one",
     "linkage_waterfall",
     "hll_tokens",
+    "tfidf_cosine",
+    "phonetic_blocks",
 )
 
 
@@ -1482,6 +1484,34 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lang", "hll_estimate", "exact_distinct"
         )
 
+    # -- sparse TF-IDF cosine all-pairs (functions/tfidf.py): the
+    # weighted lexical similarity join between PPJoin (set overlap) and
+    # embedding ANN (dense); exact mode so the oracle is unconditional --------
+    def tfidf_cosine(spark, sf_dir):
+        from rlr_spark.functions.tfidf import all_pairs_cosine
+
+        d = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+        return all_pairs_cosine(d, threshold=0.795)
+
+    # -- phonetic blocking scorecard (functions/phonetic.py): Soundex of
+    # each document's first token as the block key; per-key sizes and
+    # the candidate-pair cost the key would induce ---------------------------
+    def phonetic_blocks(spark, sf_dir):
+        from rlr_spark.functions.phonetic import soundex_col
+
+        d = _t(spark, sf_dir, "documents")
+        tok1 = F.split(F.trim(F.lower(F.col("text"))), r"\s+")[0]
+        return (
+            d.select(soundex_col(tok1).alias("skey"))
+            .groupBy("skey")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(
+                "skey",
+                "n_docs",
+                F.expr("n_docs * (n_docs - 1) DIV 2").alias("n_pairs"),
+            )
+        )
+
     return {
         "dedup_ngram": dedup_ngram,
         "text_unigram_lm": text_unigram_lm,
@@ -1496,6 +1526,8 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_one_to_one": match_one_to_one,
         "linkage_waterfall": waterfall,
         "hll_tokens": hll_tokens,
+        "tfidf_cosine": tfidf_cosine,
+        "phonetic_blocks": phonetic_blocks,
     }
 
 
@@ -1520,6 +1552,26 @@ def _pagerank_oracle() -> str:
 
     # same parameterization as graph_pagerank above
     return pagerank_sql(n_iter=10, damping=0.85, out_degree=4)
+
+
+def _phonetic_blocks_oracle() -> str:
+    from rlr_spark.functions.phonetic import soundex_sql
+
+    key = soundex_sql("(string_split_regex(trim(lower(text)), '\\s+'))[1]")
+    return f"""
+        WITH k AS (SELECT {key} AS skey FROM documents)
+        SELECT skey, count(*) AS n_docs,
+               (count(*) * (count(*) - 1)) // 2 AS n_pairs
+        FROM k GROUP BY skey
+    """
+
+
+def _tfidf_cosine_oracle() -> str:
+    from rlr_spark.functions.tfidf import all_pairs_cosine_sql
+
+    return all_pairs_cosine_sql(
+        "(SELECT * FROM documents WHERE doc_id % 5 = 0) d", threshold=0.795
+    )
 
 
 def _hll_tokens_oracle() -> str:
@@ -2796,4 +2848,6 @@ def _oracle_sql_full() -> dict[str, str]:
             SELECT l_id, r_id, score, pass_name, pass_rank FROM rn WHERE rn = 1
         """,
         "hll_tokens": _hll_tokens_oracle(),
+        "tfidf_cosine": _tfidf_cosine_oracle(),
+        "phonetic_blocks": _phonetic_blocks_oracle(),
     }
