@@ -141,6 +141,34 @@ def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # tokenize per document (O(docs)), not per pair — mirrors the Spark side
+_BIGRAM_SQL = """
+            WITH tl AS (
+              SELECT doc_id, string_split(trim(lower(text)), ' ') AS ts
+              FROM documents WHERE trim(lower(text)) <> ''),
+            bg AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS a,
+                     unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS b
+              FROM tl WHERE len(ts) >= 2),
+            dbt AS (
+              SELECT doc_id, a, b, count(*)::BIGINT AS cnt
+              FROM bg GROUP BY doc_id, a, b),
+            c2 AS (SELECT a, b, sum(cnt)::BIGINT AS c_ab FROM dbt GROUP BY a, b),
+            c1 AS (SELECT a, sum(c_ab)::BIGINT AS c_a FROM c2 GROUP BY a),
+            tok AS (SELECT doc_id, unnest(ts) AS tok FROM tl),
+            occ AS (SELECT tok AS b, count(*)::BIGINT AS n_occ FROM tok GROUP BY tok),
+            total AS (SELECT sum(n_occ)::DOUBLE AS n FROM occ)
+            SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+                   round(sum(cnt::DOUBLE * ln(
+                       0.7 * c_ab::DOUBLE / c_a::DOUBLE
+                       + 0.3 * n_occ::DOUBLE / total.n))
+                     / sum(cnt)::DOUBLE, 6) AS avg_logprob2
+            FROM dbt JOIN c2 USING (a, b) JOIN c1 USING (a)
+                 JOIN occ USING (b), total
+            GROUP BY doc_id
+"""
+
+
 _FS_SQL = f"""
     WITH d AS (
       SELECT doc_id, source, lang,
@@ -1248,6 +1276,8 @@ _EXTENDED = (
     "hll_tokens",
     "tfidf_cosine",
     "phonetic_blocks",
+    "bpe_merges",
+    "ppl_buckets",
 )
 
 
@@ -1512,6 +1542,26 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    # -- BPE merge learning (functions/bpe.py): iterative greedy argmax
+    # over the vocabulary table — genuinely non-SQL-expressible, so this
+    # is a rows-only entry; the hard check is tests/test_bpe.py's
+    # independent pure-Python reference spec ---------------------------------
+    def bpe_merges(spark, sf_dir):
+        from rlr_spark.functions.bpe import learn_bpe
+
+        d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+        merges, _vocab = learn_bpe(d, n_merges=8)
+        return spark.createDataFrame(
+            [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+            "rank int, a string, b string",
+        )
+
+    # -- CCNet-style perplexity terciles over the bigram LM score ------------
+    def ppl_buckets(spark, sf_dir):
+        from rlr_spark.functions.text import perplexity_buckets
+
+        return perplexity_buckets(_t(spark, sf_dir, "documents"), lam=0.7)
+
     return {
         "dedup_ngram": dedup_ngram,
         "text_unigram_lm": text_unigram_lm,
@@ -1528,12 +1578,16 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_tokens": hll_tokens,
         "tfidf_cosine": tfidf_cosine,
         "phonetic_blocks": phonetic_blocks,
+        "bpe_merges": bpe_merges,
+        "ppl_buckets": ppl_buckets,
     }
 
 
 def extended_oracle_sql() -> dict[str, str]:
+    # entries absent from the oracle dict (iterative / non-SQL ops,
+    # e.g. bpe_merges) get the rows-only check in tools/check_oracles.py
     full = _oracle_sql_full()
-    return {k: full[k] for k in _EXTENDED}
+    return {k: full[k] for k in _EXTENDED if k in full}
 
 
 def _track_history_oracle() -> str:
@@ -2530,32 +2584,7 @@ def _oracle_sql_full() -> dict[str, str]:
             FROM dt JOIN occ USING (tok), total
             GROUP BY doc_id
         """,
-        "text_bigram_lm": """
-            WITH tl AS (
-              SELECT doc_id, string_split(trim(lower(text)), ' ') AS ts
-              FROM documents WHERE trim(lower(text)) <> ''),
-            bg AS (
-              SELECT doc_id,
-                     unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS a,
-                     unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS b
-              FROM tl WHERE len(ts) >= 2),
-            dbt AS (
-              SELECT doc_id, a, b, count(*)::BIGINT AS cnt
-              FROM bg GROUP BY doc_id, a, b),
-            c2 AS (SELECT a, b, sum(cnt)::BIGINT AS c_ab FROM dbt GROUP BY a, b),
-            c1 AS (SELECT a, sum(c_ab)::BIGINT AS c_a FROM c2 GROUP BY a),
-            tok AS (SELECT doc_id, unnest(ts) AS tok FROM tl),
-            occ AS (SELECT tok AS b, count(*)::BIGINT AS n_occ FROM tok GROUP BY tok),
-            total AS (SELECT sum(n_occ)::DOUBLE AS n FROM occ)
-            SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
-                   round(sum(cnt::DOUBLE * ln(
-                       0.7 * c_ab::DOUBLE / c_a::DOUBLE
-                       + 0.3 * n_occ::DOUBLE / total.n))
-                     / sum(cnt)::DOUBLE, 6) AS avg_logprob2
-            FROM dbt JOIN c2 USING (a, b) JOIN c1 USING (a)
-                 JOIN occ USING (b), total
-            GROUP BY doc_id
-        """,
+        "text_bigram_lm": _BIGRAM_SQL,
         "pack_sequences": """
             WITH base AS (
               SELECT doc_id,
@@ -2850,4 +2879,15 @@ def _oracle_sql_full() -> dict[str, str]:
         "hll_tokens": _hll_tokens_oracle(),
         "tfidf_cosine": _tfidf_cosine_oracle(),
         "phonetic_blocks": _phonetic_blocks_oracle(),
+        "ppl_buckets": f"""
+            WITH lp AS ({_BIGRAM_SQL}),
+            th AS (SELECT quantile_cont(avg_logprob2, 1.0/3) AS t_lo,
+                          quantile_cont(avg_logprob2, 2.0/3) AS t_hi
+                   FROM lp)
+            SELECT doc_id, n_bigrams, avg_logprob2,
+                   CASE WHEN avg_logprob2 >= t_hi THEN 'head'
+                        WHEN avg_logprob2 >= t_lo THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM lp, th
+        """,
     }

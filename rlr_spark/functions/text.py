@@ -456,6 +456,46 @@ def bigram_logprob(
     )
 
 
+def perplexity_buckets(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+):
+    """CCNet-style quality bucketing: head / middle / tail terciles of
+    the corpus by LM score (Wenzek et al. 2020, "CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data").
+
+    CCNet scores each paragraph with a pretrained KenLM and keeps the
+    corpus split into perplexity terciles — *head* (most fluent) is
+    the premium training slice. Here the scorer is the repo's own
+    interpolated bigram LM (:func:`bigram_logprob`; higher avg
+    log-prob = lower perplexity = better), and the tercile thresholds
+    are exact ``percentile`` aggregates broadcast back over the
+    corpus — one 1-row broadcast join instead of a global-sort ntile,
+    so the plan has no single-partition window and scales like any
+    other aggregate. Thresholds compare on the ROUNDED score so the
+    bucketing is engine-reproducible (the DuckDB oracle rebuilds the
+    identical buckets).
+
+    Output: (id, n_bigrams, avg_logprob2, bucket∈{head,middle,tail}).
+    """
+    lp = bigram_logprob(df, id_col, text_col, lam)
+    th = lp.agg(
+        F.percentile("avg_logprob2", 1.0 / 3).alias("t_lo"),
+        F.percentile("avg_logprob2", 2.0 / 3).alias("t_hi"),
+    )
+    return lp.crossJoin(F.broadcast(th)).select(
+        id_col,
+        "n_bigrams",
+        "avg_logprob2",
+        F.when(F.col("avg_logprob2") >= F.col("t_hi"), F.lit("head"))
+        .when(F.col("avg_logprob2") >= F.col("t_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 def fingerprint_sql(col: str = "text") -> str:
     """The DuckDB-equivalent expression for :func:`fingerprint`."""
     return (
