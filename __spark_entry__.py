@@ -1271,13 +1271,18 @@ _EXTENDED = (
     # new this round, defined in the secondary builder
     "fs_tf_score",
     "cluster_bcubed",
-    "match_one_to_one",
     "linkage_waterfall",
     "hll_tokens",
-    "tfidf_cosine",
-    "phonetic_blocks",
     "bpe_merges",
-    "ppl_buckets",
+    "cluster_ari",
+    # rotated OUT of the driver window (families keep a driver row:
+    # a3_completion / emb_ann_ivf_trained / ppl_buckets subsumes the
+    # bigram-LM row / percentile machinery re-exercised by ppl_buckets);
+    # all retain full three-way coverage via tools/check_oracles.py
+    "a2_label_percent",
+    "emb_topk_cosine",
+    "length_quantiles",
+    "text_bigram_lm",
 )
 
 
@@ -1562,6 +1567,36 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return perplexity_buckets(_t(spark, sf_dir, "documents"), lam=0.7)
 
+    # -- Adjusted Rand of the CC clustering vs exact-duplicate truth
+    # (chance-corrected pair counting next to cluster_bcubed's
+    # per-record averaging — the two standard extrinsic ER metrics) ----------
+    def cluster_ari(spark, sf_dir):
+        from rlr_spark.operators.cluster import connected_components
+        from rlr_spark.operators.evaluate import adjusted_rand
+
+        scored = _fs_scored_pairs(spark, sf_dir).localCheckpoint(eager=False)
+        edges = scored.where(F.col("rlr_label") == "Match").select(
+            F.col("l_id").alias("u"), F.col("r_id").alias("v")
+        )
+        docs = _t(spark, sf_dir, "documents")
+        pred = (
+            docs.select("doc_id")
+            .join(
+                connected_components(edges),
+                F.col("doc_id") == F.col("node"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce(F.col("entity_id"), F.col("doc_id")).alias("entity_id"),
+            )
+        )
+        h = docs.select("doc_id", F.md5(F.col("text")).alias("_h"))
+        truth = h.join(
+            h.groupBy("_h").agg(F.min("doc_id").alias("_t")), "_h"
+        ).select("doc_id", F.col("_t").alias("entity_id"))
+        return adjusted_rand(pred, truth)
+
     return {
         "dedup_ngram": dedup_ngram,
         "text_unigram_lm": text_unigram_lm,
@@ -1580,6 +1615,7 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phonetic_blocks": phonetic_blocks,
         "bpe_merges": bpe_merges,
         "ppl_buckets": ppl_buckets,
+        "cluster_ari": cluster_ari,
     }
 
 
@@ -2831,6 +2867,36 @@ def _oracle_sql_full() -> dict[str, str]:
         # pairs that are row_number-1 for BOTH endpoints (score desc,
         # partner asc tie-break); round 2 = same over the remainder
         # after excluding matched endpoints per side
+        "cluster_ari": f"""
+            WITH RECURSIVE sc AS ({_FS_SQL}),
+            e(src, dst) AS (
+              SELECT l_id, r_id FROM sc WHERE rlr_label = 'Match'
+              UNION ALL
+              SELECT r_id, l_id FROM sc WHERE rlr_label = 'Match'),
+            walk(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.node),
+            pred AS (SELECT node AS id, min(comp) AS c FROM walk GROUP BY node),
+            tr AS (
+              SELECT doc_id AS id,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS t
+              FROM documents),
+            bo AS (SELECT pred.id, c, t FROM pred JOIN tr USING (id)),
+            nct AS (SELECT c, t, count(*)::BIGINT AS nct FROM bo GROUP BY c, t),
+            sums AS (SELECT sum(nct * (nct - 1)) / 2 AS sct,
+                            sum(nct)::BIGINT AS n FROM nct),
+            sa AS (SELECT sum(nc * (nc - 1)) / 2 AS sa FROM (
+                     SELECT sum(nct) AS nc FROM nct GROUP BY c)),
+            sb AS (SELECT sum(nt * (nt - 1)) / 2 AS sb FROM (
+                     SELECT sum(nct) AS nt FROM nct GROUP BY t))
+            SELECT n AS n_records,
+                   round(coalesce(
+                     (sct - sa * sb / (n * (n - 1) / 2.0))
+                     / nullif((sa + sb) / 2.0 - sa * sb / (n * (n - 1) / 2.0), 0),
+                     1.0), 6) AS ari
+            FROM sums, sa, sb
+        """,
         "match_one_to_one": f"""
             WITH sc AS (
               SELECT l_id, r_id, jaccard FROM ({_FS_SQL}) WHERE jaccard > 0),

@@ -390,7 +390,7 @@ def main() -> None:
     pipeline_best = _run_pipeline(spark, pages, PAGES, TRIALS)
 
     # --- per-query timings over the driver testdata -------------------------
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **entrymod.extended_queries()}
     query_secs: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = None

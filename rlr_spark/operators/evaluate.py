@@ -184,3 +184,65 @@ def bcubed(
         F.round(r, round_to).alias("bcubed_recall"),
         F.round(2 * p * r / (p + r), round_to).alias("bcubed_f1"),
     )
+
+
+def adjusted_rand(
+    assign: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "entity_id",
+    truth_col: str = "entity_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Adjusted Rand Index (Hubert & Arabie 1985) between a predicted
+    and a true clustering — the chance-corrected pair-counting
+    complement to :func:`bcubed` (B-cubed averages per record; ARI
+    counts agreeing/disagreeing PAIRS and subtracts the expectation
+    under random clusterings with the same marginals, so "everything
+    in one cluster" scores ~0 instead of riding high recall).
+
+        ARI = (Σ C(n_ct,2) − E) / (½(Σ C(n_c,2) + Σ C(n_t,2)) − E),
+        E   = Σ C(n_c,2) · Σ C(n_t,2) / C(n,2)
+
+    Same scale shape as bcubed: the contingency table is ONE
+    groupBy(c, t); the marginal pair sums reduce from it (never from
+    records); the final row is a driver-trivial 1-row aggregate. All
+    pair counts stay integral until the last division, so the value
+    is engine-reproducible after rounding. Degenerate case (both
+    clusterings put all pairs together or all apart): denominator 0,
+    defined as ARI = 1 when the tables agree — handled branch-free
+    with a coalesce(try_divide) since agreement there forces the
+    numerator to 0 too (0/0 → 1.0; any nonzero/0 cannot occur).
+    """
+    a = assign.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c"))
+    t = truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("_t"))
+    both = a.join(t, "_id")
+    n_ct = both.groupBy("_c", "_t").agg(F.count("*").alias("_nct"))
+    n_ct = n_ct.localCheckpoint(eager=False)  # feeds three reductions
+
+    def comb2(c: F.Column) -> F.Column:
+        return (c * (c - F.lit(1))) / F.lit(2)
+
+    sums = n_ct.agg(
+        F.sum(comb2(F.col("_nct"))).alias("_sct"),
+        F.sum("_nct").alias("_n"),
+    )
+    sa = (
+        n_ct.groupBy("_c")
+        .agg(F.sum("_nct").alias("_nc"))
+        .agg(F.sum(comb2(F.col("_nc"))).alias("_sa"))
+    )
+    sb = (
+        n_ct.groupBy("_t")
+        .agg(F.sum("_nct").alias("_nt"))
+        .agg(F.sum(comb2(F.col("_nt"))).alias("_sb"))
+    )
+    joined = sums.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    exp = F.col("_sa") * F.col("_sb") / comb2(F.col("_n"))
+    num = F.col("_sct") - exp
+    den = (F.col("_sa") + F.col("_sb")) / 2 - exp
+    ari = F.coalesce(F.try_divide(num, den), F.lit(1.0))
+    return joined.select(
+        F.col("_n").cast("long").alias("n_records"),
+        F.round(ari, round_to).alias("ari"),
+    )

@@ -81,3 +81,42 @@ def test_blocking_quality_dedups_inputs(spark, scored, truth):
     cand = scored.select("l_id", "r_id").unionAll(scored.select("l_id", "r_id"))
     out = blocking_quality(cand, truth.unionAll(truth), n_records=5).collect()[0]
     assert out["n_candidates"] == 8 and out["n_truth"] == 4
+
+
+def test_adjusted_rand_perfect_and_known_values(spark):
+    from rlr_spark.operators.evaluate import adjusted_rand
+
+    pred = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)], "doc_id long, entity_id long"
+    )
+    assert adjusted_rand(pred, pred).collect()[0].ari == 1.0
+
+    # classic anti-correlated example: ARI = -0.5
+    truth = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 10), (4, 20)], "doc_id long, entity_id long"
+    )
+    assert adjusted_rand(pred, truth).collect()[0].ari == -0.5
+
+
+def test_adjusted_rand_chance_correction(spark):
+    """All-in-one-cluster predictions score ~0, not high (the failure
+    mode pairwise recall and unadjusted Rand both reward)."""
+    from rlr_spark.operators.evaluate import adjusted_rand
+
+    rows = [(i, i % 5) for i in range(50)]
+    truth = spark.createDataFrame(rows, "doc_id long, entity_id long")
+    allone = spark.createDataFrame(
+        [(i, 0) for i in range(50)], "doc_id long, entity_id long"
+    )
+    ari = adjusted_rand(allone, truth).collect()[0].ari
+    assert abs(ari) < 1e-9  # exactly 0 for the one-cluster degenerate
+
+
+def test_adjusted_rand_degenerate_agreement(spark):
+    from rlr_spark.operators.evaluate import adjusted_rand
+
+    # both all-singletons: denominator 0, defined as 1.0
+    singles = spark.createDataFrame(
+        [(i, i) for i in range(6)], "doc_id long, entity_id long"
+    )
+    assert adjusted_rand(singles, singles).collect()[0].ari == 1.0
