@@ -1275,6 +1275,7 @@ _EXTENDED = (
     "hll_tokens",
     "bpe_merges",
     "cluster_ari",
+    "group_links",
     # rotated OUT of the driver window (families keep a driver row:
     # a3_completion / emb_ann_ivf_trained / ppl_buckets subsumes the
     # bigram-LM row / percentile machinery re-exercised by ppl_buckets);
@@ -1597,6 +1598,49 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.col("_t").alias("entity_id"))
         return adjusted_rand(pred, truth)
 
+    # -- group linkage (operators/matching.py): households = per-source
+    # rosters split into even/odd doc "census rounds"; member links by
+    # token jaccard, group score = |1:1-matched| / |A u B| -----------------
+    def group_links(spark, sf_dir):
+        from rlr_spark.functions.similarity import token_jaccard
+        from rlr_spark.operators.matching import group_linkage
+
+        d = _t(spark, sf_dir, "documents")
+        left = d.where(F.col("doc_id") % 2 == 0).select(
+            F.col("doc_id").alias("l_id"),
+            F.col("source").alias("l_group"),
+            "lang",
+            F.col("text").alias("l_text"),
+        )
+        right = d.where(F.col("doc_id") % 2 == 1).select(
+            F.col("doc_id").alias("r_id"),
+            F.col("source").alias("r_group"),
+            "lang",
+            F.col("text").alias("r_text"),
+        )
+        links = (
+            left.join(right, "lang")
+            .select(
+                "l_group",
+                "r_group",
+                "l_id",
+                "r_id",
+                F.round(
+                    token_jaccard(F.col("l_text"), F.col("r_text")), 6
+                ).alias("score"),
+            )
+            .where(F.col("score") >= 0.2)
+        )
+        lsz = left.groupBy("l_group").count()
+        rsz = right.groupBy("r_group").count()
+        # avg_score is an average of rounded doubles — summation order
+        # can flip its last rounded digit across engines (observed at
+        # 0.7964285); the driver row carries only the integer-derived,
+        # order-independent columns
+        return group_linkage(links, lsz, rsz).select(
+            "l_group", "r_group", "n_matched", "group_sim"
+        )
+
     return {
         "dedup_ngram": dedup_ngram,
         "text_unigram_lm": text_unigram_lm,
@@ -1616,6 +1660,7 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": bpe_merges,
         "ppl_buckets": ppl_buckets,
         "cluster_ari": cluster_ari,
+        "group_links": group_links,
     }
 
 
@@ -2867,6 +2912,42 @@ def _oracle_sql_full() -> dict[str, str]:
         # pairs that are row_number-1 for BOTH endpoints (score desc,
         # partner asc tie-break); round 2 = same over the remainder
         # after excluding matched endpoints per side
+        "group_links": """
+            WITH d AS (
+              SELECT doc_id, source, lang,
+                     list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+              FROM documents),
+            l AS (SELECT doc_id AS l_id, source AS l_group, lang, toks
+                  FROM d WHERE doc_id % 2 = 0),
+            r AS (SELECT doc_id AS r_id, source AS r_group, lang, toks
+                  FROM d WHERE doc_id % 2 = 1),
+            kept AS (
+              SELECT l_group, r_group, l_id, r_id, score FROM (
+                SELECT l_group, r_group, l_id, r_id,
+                       round(CASE WHEN len(list_distinct(list_concat(l.toks, r.toks))) = 0
+                             THEN 0.0
+                             ELSE len(list_intersect(l.toks, r.toks))::DOUBLE
+                                  / len(list_distinct(list_concat(l.toks, r.toks)))::DOUBLE
+                             END, 6) AS score
+                FROM l JOIN r USING (lang))
+              WHERE score >= 0.2),
+            m AS (
+              SELECT *,
+                row_number() OVER (PARTITION BY l_group, r_group, l_id
+                                   ORDER BY score DESC, r_id ASC) AS rl,
+                row_number() OVER (PARTITION BY l_group, r_group, r_id
+                                   ORDER BY score DESC, l_id ASC) AS rr
+              FROM kept),
+            mm AS (SELECT * FROM m WHERE rl = 1 AND rr = 1),
+            agg AS (SELECT l_group, r_group, count(*)::BIGINT AS n_matched,
+                           avg(score) AS avgs
+                    FROM mm GROUP BY l_group, r_group),
+            lsz AS (SELECT l_group, count(*)::BIGINT AS szl FROM l GROUP BY l_group),
+            rsz AS (SELECT r_group, count(*)::BIGINT AS szr FROM r GROUP BY r_group)
+            SELECT agg.l_group, agg.r_group, n_matched,
+                   round(n_matched / (szl + szr - n_matched), 6) AS group_sim
+            FROM agg JOIN lsz USING (l_group) JOIN rsz USING (r_group)
+        """,
         "cluster_ari": f"""
             WITH RECURSIVE sc AS ({_FS_SQL}),
             e(src, dst) AS (

@@ -123,6 +123,84 @@ def one_to_one_match(
     return out
 
 
+def group_linkage(
+    links: DataFrame,
+    left_sizes: DataFrame,
+    right_sizes: DataFrame,
+    score_col: str = "score",
+    left_col: str = "l_id",
+    right_col: str = "r_id",
+    left_group: str = "l_group",
+    right_group: str = "r_group",
+    round_to: int = 6,
+) -> DataFrame:
+    """Group-level linkage (households, families, firms): score GROUP
+    pairs from their members' record-level links.
+
+    The classic two-level design (On et al., ICDE'07 "Group Linkage"):
+    within each candidate group pair, record links are thinned to a
+    1:1 matching (mutual-best here — the distributed greedy, see
+    :func:`mutual_best_match`), and the group similarity is the
+    Jaccard-style ratio
+
+        sim(A, B) = |M| / (|A| + |B| - |M|)
+
+    where M is the matched record set — so a household where 3 of 4
+    members matched scores high even if one member is missing from
+    the other roster.
+
+    Inputs: ``links`` = record-level candidate links carrying BOTH
+    group columns; ``left_sizes`` / ``right_sizes`` = (group, size)
+    tables (sizes must count ALL group members, not just linked ones —
+    unmatched members must dilute the score).
+
+    Output: (left_group, right_group, n_matched, group_sim, avg_score).
+
+    Plan: the 1:1 thinning is two row_number windows partitioned by
+    (group-pair, endpoint) — same two exchanges as mutual_best_match,
+    just with the group pair prepended to the key, so skewed mega-
+    groups split across partitions only at the window boundary; the
+    group roll-up and the two size joins are ordinary aggregates.
+    """
+    wl = Window.partitionBy(left_group, right_group, left_col).orderBy(
+        F.col(score_col).desc(), F.col(right_col).asc()
+    )
+    wr = Window.partitionBy(left_group, right_group, right_col).orderBy(
+        F.col(score_col).desc(), F.col(left_col).asc()
+    )
+    matched = (
+        links.withColumn("_rl", F.row_number().over(wl))
+        .withColumn("_rr", F.row_number().over(wr))
+        .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
+    )
+    agg = matched.groupBy(left_group, right_group).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.avg(score_col).alias("_avg"),
+    )
+    ls = left_sizes.select(
+        F.col(left_sizes.columns[0]).alias(left_group),
+        F.col(left_sizes.columns[1]).alias("_szl"),
+    )
+    rs = right_sizes.select(
+        F.col(right_sizes.columns[0]).alias(right_group),
+        F.col(right_sizes.columns[1]).alias("_szr"),
+    )
+    sim = F.col("n_matched") / (
+        F.col("_szl") + F.col("_szr") - F.col("n_matched")
+    )
+    return (
+        agg.join(ls, left_group)
+        .join(rs, right_group)
+        .select(
+            left_group,
+            right_group,
+            "n_matched",
+            F.round(sim, round_to).alias("group_sim"),
+            F.round(F.col("_avg"), round_to).alias("avg_score"),
+        )
+    )
+
+
 def linkage_waterfall(
     passes: list[tuple[str, DataFrame]],
     score_col: str = "score",

@@ -180,3 +180,47 @@ def test_hll_matches_duckdb_bit_for_bit(spark, tmp_path):
     assert spark_rows == duck_rows
     for g in spark_rows:
         assert not math.isnan(spark_rows[g])
+
+
+# ---------------------------------------------------------------------------
+# group linkage
+# ---------------------------------------------------------------------------
+
+
+def test_group_linkage_jaccard_of_matched_members(spark):
+    from rlr_spark.operators.matching import group_linkage
+
+    # household A = {1,2,3}, B = {10,11,12,13}; 2 members match 1:1
+    links = spark.createDataFrame(
+        [
+            ("A", "B", 1, 10, 0.9),
+            ("A", "B", 2, 11, 0.8),
+            ("A", "B", 1, 11, 0.7),   # competes, loses both windows
+            ("A", "C", 3, 20, 0.95),  # different group pair
+        ],
+        "l_group string, r_group string, l_id long, r_id long, score double",
+    )
+    lsz = spark.createDataFrame([("A", 3)], "g string, n long")
+    rsz = spark.createDataFrame([("B", 4), ("C", 1)], "g string, n long")
+    out = {
+        (r.l_group, r.r_group): (r.n_matched, r.group_sim)
+        for r in group_linkage(links, lsz, rsz).collect()
+    }
+    # A-B: 2 matched of |A|+|B|-2 = 5 -> 0.4
+    assert out[("A", "B")] == (2, 0.4)
+    # A-C: 1 matched of 3+1-1 = 3
+    assert out[("A", "C")] == (1, round(1 / 3, 6))
+
+
+def test_group_linkage_one_to_one_within_group_pair(spark):
+    from rlr_spark.operators.matching import group_linkage
+
+    # one left member linked to two right members: only the best counts
+    links = spark.createDataFrame(
+        [("A", "B", 1, 10, 0.9), ("A", "B", 1, 11, 0.95)],
+        "l_group string, r_group string, l_id long, r_id long, score double",
+    )
+    lsz = spark.createDataFrame([("A", 1)], "g string, n long")
+    rsz = spark.createDataFrame([("B", 2)], "g string, n long")
+    row = group_linkage(links, lsz, rsz).collect()[0]
+    assert row.n_matched == 1 and row.group_sim == 0.5 and row.avg_score == 0.95
