@@ -1276,6 +1276,7 @@ _EXTENDED = (
     "bpe_merges",
     "cluster_ari",
     "group_links",
+    "graph_kcore",
     # rotated OUT of the driver window (families keep a driver row:
     # a3_completion / emb_ann_ivf_trained / ppl_buckets subsumes the
     # bigram-LM row / percentile machinery re-exercised by ppl_buckets);
@@ -1641,6 +1642,21 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "l_group", "r_group", "n_matched", "group_sim"
         )
 
+    # -- k-core of the synthetic link graph (functions/graph.py):
+    # iterative peeling — not recursive-CTE-expressible, so rows-only
+    # here; the hard check is test_graph_retrieval.py's independent
+    # peeling reference on random graphs -------------------------------------
+    def graph_kcore(spark, sf_dir):
+        from rlr_spark.functions.graph import kcore, synthetic_link_edges
+
+        d = _t(spark, sf_dir, "documents")
+        edges = synthetic_link_edges(d, out_degree=4).select(
+            F.col("src").alias("u"), F.col("dst").alias("v")
+        )
+        # k=5 peels a nontrivial boundary (486/500 at sf0.01) without
+        # the full cascade-to-empty of k>=6 on this 4-out-degree graph
+        return kcore(edges, k=5)
+
     return {
         "dedup_ngram": dedup_ngram,
         "text_unigram_lm": text_unigram_lm,
@@ -1661,6 +1677,7 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": ppl_buckets,
         "cluster_ari": cluster_ari,
         "group_links": group_links,
+        "graph_kcore": graph_kcore,
     }
 
 
