@@ -1277,6 +1277,7 @@ _EXTENDED = (
     "cluster_ari",
     "group_links",
     "graph_kcore",
+    "fs_patterns",
     # rotated OUT of the driver window (families keep a driver row:
     # a3_completion / emb_ann_ivf_trained / ppl_buckets subsumes the
     # bigram-LM row / percentile machinery re-exercised by ppl_buckets);
@@ -1657,6 +1658,24 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full cascade-to-empty of k>=6 on this 4-out-degree graph
         return kcore(edges, k=5)
 
+    # -- FS agreement-pattern diagnostics (operators/scoring.py): the
+    # observed-vs-model-expected pattern table; gammas decoded from the
+    # (jaccard, fs_score) pair since the 4 rounded score levels are
+    # distinct constants ------------------------------------------------------
+    def fs_patterns(spark, sf_dir):
+        from rlr_spark.operators.scoring import pattern_diagnostics
+
+        s11 = round(_W1_A + _W2_A, 6)
+        s01 = round(_W1_D + _W2_A, 6)
+        sc = _fs_scored_pairs(spark, sf_dir)
+        g1 = (F.col("jaccard") >= 0.5).cast("int")
+        lvl = F.when(g1 == 1, F.lit(s11)).otherwise(F.lit(s01))
+        g2 = (F.col("fs_score") == lvl).cast("int")
+        gp = sc.select(g1.alias("g1"), g2.alias("g2"))
+        return pattern_diagnostics(
+            gp, ["g1", "g2"], m=[0.95, 0.9], u=[0.02, 0.3], p_match=0.2
+        )
+
     return {
         "dedup_ngram": dedup_ngram,
         "text_unigram_lm": text_unigram_lm,
@@ -1678,6 +1697,7 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_ari": cluster_ari,
         "group_links": group_links,
         "graph_kcore": graph_kcore,
+        "fs_patterns": fs_patterns,
     }
 
 
@@ -1723,6 +1743,23 @@ def _tfidf_cosine_oracle() -> str:
 
     return all_pairs_cosine_sql(
         "(SELECT * FROM documents WHERE doc_id % 5 = 0) d", threshold=0.795
+    )
+
+
+def _fs_patterns_oracle() -> str:
+    from rlr_spark.operators.scoring import pattern_diagnostics_sql
+
+    s11 = round(_W1_A + _W2_A, 6)
+    s01 = round(_W1_D + _W2_A, 6)
+    pairs = f"""
+        SELECT CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END AS g1,
+               CASE WHEN fs_score = (CASE WHEN jaccard >= 0.5
+                                     THEN {s11!r} ELSE {s01!r} END)
+                    THEN 1 ELSE 0 END AS g2
+        FROM ({_FS_SQL})
+    """
+    return pattern_diagnostics_sql(
+        pairs, ["g1", "g2"], m=[0.95, 0.9], u=[0.02, 0.3], p_match=0.2
     )
 
 
@@ -2965,6 +3002,7 @@ def _oracle_sql_full() -> dict[str, str]:
                    round(n_matched / (szl + szr - n_matched), 6) AS group_sim
             FROM agg JOIN lsz USING (l_group) JOIN rsz USING (r_group)
         """,
+        "fs_patterns": _fs_patterns_oracle(),
         "cluster_ari": f"""
             WITH RECURSIVE sc AS ({_FS_SQL}),
             e(src, dst) AS (

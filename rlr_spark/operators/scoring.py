@@ -316,3 +316,94 @@ def fs_score_tf(
         total = term if total is None else total + term
     out = out.withColumn(score_col, total)
     return out.drop(*[f"_tf_{f}" for f in fields])
+
+
+def pattern_diagnostics(
+    df: DataFrame,
+    gamma_cols: list[str],
+    m: list[float],
+    u: list[float],
+    p_match: float,
+    round_to: int = 4,
+) -> DataFrame:
+    """Agreement-pattern table: observed vs FS-model-expected counts.
+
+    The standard Fellegi-Sunter model-fit diagnostic (Splink ships it
+    as the "comparison pattern" chart): collapse all pairs to their
+    binary agreement pattern gamma = (g_1..g_k), count each pattern,
+    and compare with the count the two-class mixture model predicts:
+
+        E[n(gamma)] = N * ( p * prod_i m_i^g * (1-m_i)^(1-g)
+                        + (1-p) * prod_i u_i^g * (1-u_i)^(1-g) )
+
+    Patterns whose observed/expected ratio strays far from 1 are where
+    the conditional-independence assumption breaks (correlated fields)
+    — the first thing to inspect before trusting EM weights.
+
+    Scale: ONE map-side-combinable groupBy collapses any number of
+    pairs to <= 2^k rows; everything after is constant arithmetic on
+    that tiny table. Output: (gamma_cols..., n_pairs, expected,
+    obs_exp_ratio), deterministic given the (m, u, p) constants.
+    """
+    if not (len(gamma_cols) == len(m) == len(u)):
+        raise ValueError("gamma_cols, m, u must align")
+    counts = df.groupBy(*[F.col(c).cast("int").alias(c) for c in gamma_cols]).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    total = counts.agg(F.sum("n_pairs").alias("_N"))
+    pm = F.lit(float(p_match))
+    prod_m = F.lit(1.0)
+    prod_u = F.lit(1.0)
+    for c, mi, ui in zip(gamma_cols, m, u):
+        g = F.col(c)
+        prod_m = prod_m * F.when(g == 1, F.lit(float(mi))).otherwise(
+            F.lit(1.0 - float(mi))
+        )
+        prod_u = prod_u * F.when(g == 1, F.lit(float(ui))).otherwise(
+            F.lit(1.0 - float(ui))
+        )
+    expected = F.col("_N") * (pm * prod_m + (F.lit(1.0) - pm) * prod_u)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *gamma_cols,
+            "n_pairs",
+            F.round(expected, round_to).alias("expected"),
+            F.round(F.col("n_pairs") / expected, round_to).alias("obs_exp_ratio"),
+        )
+    )
+
+
+def pattern_diagnostics_sql(
+    pairs_sql: str,
+    gamma_cols: list[str],
+    m: list[float],
+    u: list[float],
+    p_match: float,
+    round_to: int = 4,
+) -> str:
+    """DuckDB mirror of :func:`pattern_diagnostics` — generated from
+    the same constants (incl. the exact IEEE value of 1-m_i, so the
+    two engines multiply identical doubles)."""
+    gs = ", ".join(gamma_cols)
+
+    def prod(ps: list[float]) -> str:
+        terms = [
+            f"(CASE WHEN {c} = 1 THEN {pi!r} ELSE {(1.0 - pi)!r} END)"
+            for c, pi in zip(gamma_cols, ps)
+        ]
+        return " * ".join(terms)
+
+    mixture = (
+        f"({p_match!r} * {prod(m)} + {(1.0 - p_match)!r} * {prod(u)})"
+    )
+    return f"""
+        WITH c AS (
+          SELECT {gs}, count(*)::BIGINT AS n_pairs
+          FROM ({pairs_sql}) GROUP BY {gs}),
+        t AS (SELECT sum(n_pairs)::DOUBLE AS nn FROM c)
+        SELECT {gs}, n_pairs,
+               round(nn * {mixture}, {round_to}) AS expected,
+               round(n_pairs / (nn * {mixture}), {round_to}) AS obs_exp_ratio
+        FROM c, t
+    """

@@ -78,3 +78,34 @@ def test_estimate_mu_em_recovers_planted(spark):
     m2, u2 = mu["s2"]
     assert m1 > 0.8 and u1 < 0.15
     assert m2 > 0.7 and u2 < 0.25
+
+
+def test_pattern_diagnostics_counts_and_expectation(spark):
+    from rlr_spark.operators.scoring import pattern_diagnostics
+
+    # 10 pairs: 4x (1,1), 3x (1,0), 2x (0,1), 1x (0,0)
+    rows = [(1, 1)] * 4 + [(1, 0)] * 3 + [(0, 1)] * 2 + [(0, 0)]
+    df = spark.createDataFrame(rows, "g1 int, g2 int")
+    m, u, p = [0.9, 0.8], [0.1, 0.3], 0.5
+    out = {
+        (r.g1, r.g2): (r.n_pairs, r.expected)
+        for r in pattern_diagnostics(df, ["g1", "g2"], m, u, p).collect()
+    }
+    assert {k: v[0] for k, v in out.items()} == {
+        (1, 1): 4, (1, 0): 3, (0, 1): 2, (0, 0): 1
+    }
+    # hand expectation for (1,1): N * (p*m1*m2 + (1-p)*u1*u2)
+    want = round(10 * (0.5 * 0.9 * 0.8 + 0.5 * 0.1 * 0.3), 4)
+    assert out[(1, 1)][1] == want
+    # expectations over all patterns sum to N
+    assert abs(sum(v[1] for v in out.values()) - 10) < 1e-3
+
+
+def test_pattern_diagnostics_validates_lengths(spark):
+    import pytest as _pytest
+
+    from rlr_spark.operators.scoring import pattern_diagnostics
+
+    df = spark.createDataFrame([(1, 1)], "g1 int, g2 int")
+    with _pytest.raises(ValueError):
+        pattern_diagnostics(df, ["g1", "g2"], [0.9], [0.1, 0.2], 0.5)
