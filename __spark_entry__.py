@@ -1286,6 +1286,18 @@ _EXTENDED = (
     "emb_topk_cosine",
     "length_quantiles",
     "text_bigram_lm",
+    # round-6 session-2 rotation: five new ER operators (c2_damerau,
+    # link_cascade, fs_null_levels, cluster_vmeasure, unlinkables) take
+    # driver rows; these five are r5-DRIVER-green with their families
+    # still in the window (dedup_minhash+dedup_clusters for near-dup,
+    # j1 for pair joins, graph_pagerank for graph, c3_fs_score+
+    # fs_null_levels for FS fitting), and keep full three-way coverage
+    # via tools/check_oracles.py
+    "dedup_prefix_join",
+    "dedup_simhash",
+    "j2_grouped_projection",
+    "graph_triangles",
+    "em_weights",
 )
 
 
@@ -1676,6 +1688,121 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             gp, ["g1", "g2"], m=[0.95, 0.9], u=[0.02, 0.3], p_match=0.2
         )
 
+    # -- true Damerau-Levenshtein similarity (functions/similarity.py):
+    # Arrow-batched Lowrance-Wagner DP, bit-identical to DuckDB's
+    # damerau_levenshtein on ASCII (the cap-then-normalize order is
+    # load-bearing: substring(1,64) BEFORE trim/lower, mirrored in SQL) ------
+    def c2_damerau(spark, sf_dir):
+        from rlr_spark.functions.similarity import damerau_sim
+
+        p = _doc_pairs_same_source(spark, sf_dir).where(
+            (F.col("l_id") % 11 == 0) & (F.col("r_id") % 11 == 0)
+        )
+        return p.select(
+            "l_id",
+            "r_id",
+            F.round(damerau_sim(F.col("l_text"), F.col("r_text")), 6).alias(
+                "damerau_sim"
+            ),
+        )
+
+    # -- unique-unique rule cascade (operators/matching.py): the
+    # ABE-style deterministic multi-pass matcher over customer->supplier;
+    # keys tighten from (nation, name-suffix) to name-suffix to nation,
+    # residuals shrink on BOTH sides between passes ---------------------------
+    def link_cascade(spark, sf_dir):
+        from rlr_spark.operators.matching import rule_cascade
+
+        sfx = lambda c: F.substring(F.col(c), -2, 2)  # noqa: E731
+        left = _t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("l_id"),
+            F.concat_ws("|", F.col("c_nationkey"), sfx("c_name")).alias("k1"),
+            sfx("c_name").alias("k2"),
+            F.col("c_nationkey").cast("string").alias("k3"),
+        )
+        right = _t(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("r_id"),
+            F.concat_ws("|", F.col("s_nationkey"), sfx("s_name")).alias("k1"),
+            sfx("s_name").alias("k2"),
+            F.col("s_nationkey").cast("string").alias("k3"),
+        )
+        return rule_cascade(
+            left,
+            right,
+            [
+                ("nat_sfx", F.col("k1"), F.col("k1")),
+                ("sfx", F.col("k2"), F.col("k2")),
+                ("nat", F.col("k3"), F.col("k3")),
+            ],
+        )
+
+    # -- NULL-aware three-level FS (operators/scoring.py): similarity
+    # NULLs (deterministically injected missingness) score weight 0 and
+    # gamma -1 instead of being punished as disagreement ----------------------
+    def fs_null_levels(spark, sf_dir):
+        from rlr_spark.functions.similarity import token_jaccard
+        from rlr_spark.operators.scoring import FSWeights, fs_score_nullsafe
+
+        p = _doc_pairs_same_source(spark, sf_dir).where(
+            (F.col("l_id") % 7 == 0) & (F.col("r_id") % 7 == 0)
+        )
+        null_d = F.lit(None).cast("double")
+        sim1 = F.when(
+            (F.col("l_id") % 5 == 0) | (F.col("r_id") % 5 == 0), null_d
+        ).otherwise(token_jaccard(F.col("l_text"), F.col("r_text")))
+        sim2 = F.when(
+            (F.col("l_id") % 3 == 0) | (F.col("r_id") % 3 == 0), null_d
+        ).otherwise((F.col("l_lang") == F.col("r_lang")).cast("double"))
+        base = p.select("l_id", "r_id", sim1.alias("jac"), sim2.alias("lang_eq"))
+        w = FSWeights(
+            groups={"jac": (0.95, 0.02), "lang_eq": (0.9, 0.3)},
+            agree_threshold=0.5,
+        )
+        return fs_score_nullsafe(base, w).select(
+            "l_id",
+            "r_id",
+            "gamma_jac",
+            "gamma_lang_eq",
+            F.round("fs_score", 6).alias("fs_score"),
+        )
+
+    # -- V-measure / homogeneity / completeness / purity
+    # (operators/evaluate.py): same pred/truth framing as cluster_ari ---------
+    def cluster_vmeasure(spark, sf_dir):
+        from rlr_spark.operators.cluster import connected_components
+        from rlr_spark.operators.evaluate import vmeasure
+
+        scored = _fs_scored_pairs(spark, sf_dir).localCheckpoint(eager=False)
+        edges = scored.where(F.col("rlr_label") == "Match").select(
+            F.col("l_id").alias("u"), F.col("r_id").alias("v")
+        )
+        docs = _t(spark, sf_dir, "documents")
+        pred = (
+            docs.select("doc_id")
+            .join(
+                connected_components(edges),
+                F.col("doc_id") == F.col("node"),
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.coalesce(F.col("entity_id"), F.col("doc_id")).alias("entity_id"),
+            )
+        )
+        h = docs.select("doc_id", F.md5(F.col("text")).alias("_h"))
+        truth = h.join(
+            h.groupBy("_h").agg(F.min("doc_id").alias("_t")), "_h"
+        ).select("doc_id", F.col("_t").alias("entity_id"))
+        return vmeasure(pred, truth)
+
+    # -- unlinkables analysis (operators/evaluate.py): per-record best
+    # FS score distribution incl. the blocking-orphan NULL bucket -------------
+    def unlinkables_curve(spark, sf_dir):
+        from rlr_spark.operators.evaluate import unlinkables
+
+        sc = _fs_scored_pairs(spark, sf_dir).select("l_id", "r_id", "fs_score")
+        return unlinkables(_t(spark, sf_dir, "documents"), sc)
+
     return {
         "dedup_ngram": dedup_ngram,
         "text_unigram_lm": text_unigram_lm,
@@ -1698,6 +1825,11 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_links": group_links,
         "graph_kcore": graph_kcore,
         "fs_patterns": fs_patterns,
+        "c2_damerau": c2_damerau,
+        "link_cascade": link_cascade,
+        "fs_null_levels": fs_null_levels,
+        "cluster_vmeasure": cluster_vmeasure,
+        "unlinkables": unlinkables_curve,
     }
 
 
@@ -3081,6 +3213,174 @@ def _oracle_sql_full() -> dict[str, str]:
         "hll_tokens": _hll_tokens_oracle(),
         "tfidf_cosine": _tfidf_cosine_oracle(),
         "phonetic_blocks": _phonetic_blocks_oracle(),
+        # true Damerau-Levenshtein (functions/similarity.py) — DuckDB's
+        # damerau_levenshtein is the same unrestricted Lowrance-Wagner
+        # distance (verified CA->ABC = 2, not OSA's 3); cap BEFORE
+        # trim/lower mirrors damerau_sim exactly. ASCII corpus, so
+        # DuckDB's byte-wise len == the UDF's codepoint len.
+        "c2_damerau": """
+            WITH p AS (
+              SELECT a.doc_id AS l_id, b.doc_id AS r_id,
+                     lower(trim(substring(a.text, 1, 64))) AS la,
+                     lower(trim(substring(b.text, 1, 64))) AS lb
+              FROM documents a JOIN documents b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 11 = 0 AND b.doc_id % 11 = 0)
+            SELECT l_id, r_id,
+                   round(CASE WHEN greatest(len(la), len(lb)) = 0 THEN 1.0
+                         ELSE 1.0 - damerau_levenshtein(la, lb)::DOUBLE
+                                    / greatest(len(la), len(lb))::DOUBLE
+                         END, 6) AS damerau_sim
+            FROM p
+        """,
+        # unique-unique rule cascade (operators/matching.py): per pass,
+        # keys unique among STILL-UNMATCHED records on both sides link;
+        # matched ids leave both pools before the next (looser) pass
+        "link_cascade": """
+            WITH l0 AS (
+              SELECT c_custkey AS id,
+                     c_nationkey || '|' || substring(c_name, -2, 2) AS k1,
+                     substring(c_name, -2, 2) AS k2,
+                     c_nationkey::VARCHAR AS k3
+              FROM customer),
+            r0 AS (
+              SELECT s_suppkey AS id,
+                     s_nationkey || '|' || substring(s_name, -2, 2) AS k1,
+                     substring(s_name, -2, 2) AS k2,
+                     s_nationkey::VARCHAR AS k3
+              FROM supplier),
+            lu1 AS (SELECT k1, min(id) AS id FROM l0 WHERE k1 IS NOT NULL
+                    GROUP BY k1 HAVING count(*) = 1),
+            ru1 AS (SELECT k1, min(id) AS id FROM r0 WHERE k1 IS NOT NULL
+                    GROUP BY k1 HAVING count(*) = 1),
+            m1 AS (SELECT lu1.id AS l_id, ru1.id AS r_id,
+                          'nat_sfx' AS pass_name, 1 AS pass_rank
+                   FROM lu1 JOIN ru1 USING (k1)),
+            l1 AS (SELECT * FROM l0 WHERE id NOT IN (SELECT l_id FROM m1)),
+            r1 AS (SELECT * FROM r0 WHERE id NOT IN (SELECT r_id FROM m1)),
+            lu2 AS (SELECT k2, min(id) AS id FROM l1 WHERE k2 IS NOT NULL
+                    GROUP BY k2 HAVING count(*) = 1),
+            ru2 AS (SELECT k2, min(id) AS id FROM r1 WHERE k2 IS NOT NULL
+                    GROUP BY k2 HAVING count(*) = 1),
+            m2 AS (SELECT lu2.id AS l_id, ru2.id AS r_id,
+                          'sfx' AS pass_name, 2 AS pass_rank
+                   FROM lu2 JOIN ru2 USING (k2)),
+            l2 AS (SELECT * FROM l1 WHERE id NOT IN (SELECT l_id FROM m2)),
+            r2 AS (SELECT * FROM r1 WHERE id NOT IN (SELECT r_id FROM m2)),
+            lu3 AS (SELECT k3, min(id) AS id FROM l2 WHERE k3 IS NOT NULL
+                    GROUP BY k3 HAVING count(*) = 1),
+            ru3 AS (SELECT k3, min(id) AS id FROM r2 WHERE k3 IS NOT NULL
+                    GROUP BY k3 HAVING count(*) = 1),
+            m3 AS (SELECT lu3.id AS l_id, ru3.id AS r_id,
+                          'nat' AS pass_name, 3 AS pass_rank
+                   FROM lu3 JOIN ru3 USING (k3))
+            SELECT * FROM m1 UNION ALL SELECT * FROM m2
+            UNION ALL SELECT * FROM m3
+        """,
+        # NULL-aware three-level FS (operators/scoring.py): missing
+        # similarity -> gamma -1, weight 0; thresholds on the UNROUNDED
+        # jaccard, same as the Spark side
+        "fs_null_levels": f"""
+            WITH d AS (
+              SELECT doc_id, source, lang,
+                     list_distinct(string_split(lower(trim(text)), ' ')) AS toks
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS l_id, b.doc_id AS r_id,
+                     a.lang AS ll, b.lang AS rl, a.toks AS lt, b.toks AS rt
+              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 = 0),
+            s AS (
+              SELECT l_id, r_id,
+                CASE WHEN l_id % 5 = 0 OR r_id % 5 = 0 THEN NULL
+                     WHEN len(list_distinct(list_concat(lt, rt))) = 0 THEN 0.0
+                     ELSE len(list_intersect(lt, rt))::DOUBLE
+                          / len(list_distinct(list_concat(lt, rt)))::DOUBLE
+                END AS jac,
+                CASE WHEN l_id % 3 = 0 OR r_id % 3 = 0 THEN NULL
+                     WHEN ll = rl THEN 1.0 ELSE 0.0 END AS le
+              FROM p)
+            SELECT l_id, r_id,
+              CASE WHEN jac IS NULL THEN -1 WHEN jac >= 0.5 THEN 2 ELSE 0
+                END AS gamma_jac,
+              CASE WHEN le IS NULL THEN -1 WHEN le >= 0.5 THEN 2 ELSE 0
+                END AS gamma_lang_eq,
+              round(CASE WHEN jac IS NULL THEN 0.0
+                         WHEN jac >= 0.5 THEN {_W1_A} ELSE {_W1_D} END
+                  + CASE WHEN le IS NULL THEN 0.0
+                         WHEN le >= 0.5 THEN {_W2_A} ELSE {_W2_D} END,
+                    6) AS fs_score
+            FROM s
+        """,
+        # V-measure family (operators/evaluate.py): entropies as
+        # sum(n ln n) folds over the ONE contingency table; natural log
+        # so the base cancels in the ratios
+        "cluster_vmeasure": f"""
+            WITH RECURSIVE sc AS ({_FS_SQL}),
+            e(src, dst) AS (
+              SELECT l_id, r_id FROM sc WHERE rlr_label = 'Match'
+              UNION ALL
+              SELECT r_id, l_id FROM sc WHERE rlr_label = 'Match'),
+            walk(node, comp) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.node),
+            pred AS (SELECT node AS id, min(comp) AS c FROM walk GROUP BY node),
+            tr AS (
+              SELECT doc_id AS id,
+                     min(doc_id) OVER (PARTITION BY md5(text)) AS t
+              FROM documents),
+            bo AS (SELECT pred.id, c, t FROM pred JOIN tr USING (id)),
+            nct AS (SELECT c, t, count(*)::BIGINT AS nct FROM bo GROUP BY c, t),
+            core AS (SELECT sum(nct * ln(nct::DOUBLE)) AS sct,
+                            sum(nct)::BIGINT AS n FROM nct),
+            byc AS (SELECT sum(nc * ln(nc)) AS sc2, sum(maj)::DOUBLE AS majority
+                    FROM (SELECT sum(nct)::DOUBLE AS nc, max(nct) AS maj
+                          FROM nct GROUP BY c)),
+            byt AS (SELECT sum(nt * ln(nt)) AS st FROM (
+                      SELECT sum(nct)::DOUBLE AS nt FROM nct GROUP BY t)),
+            f AS (
+              SELECT n,
+                1 - coalesce((sc2 - sct) / n
+                             / nullif(ln(n::DOUBLE) - st / n, 0), 0) AS hom,
+                1 - coalesce((st - sct) / n
+                             / nullif(ln(n::DOUBLE) - sc2 / n, 0), 0) AS com,
+                majority / n AS pur
+              FROM core, byc, byt)
+            SELECT n AS n_records,
+                   round(hom, 6) AS homogeneity,
+                   round(com, 6) AS completeness,
+                   round(coalesce(2 * hom * com / nullif(hom + com, 0), 0),
+                         6) AS v_measure,
+                   round(pur, 6) AS purity
+            FROM f
+        """,
+        # unlinkables curve (operators/evaluate.py): per-record best FS
+        # score; blocking orphans surface as the NULLS FIRST bucket
+        "unlinkables": f"""
+            WITH sc AS ({_FS_SQL}),
+            sides AS (
+              SELECT l_id AS id, fs_score AS s FROM sc
+              UNION ALL
+              SELECT r_id AS id, fs_score AS s FROM sc),
+            best AS (SELECT id, max(s) AS b FROM sides GROUP BY id),
+            per AS (
+              -- ::DOUBLE: the FS weight literals parse as DECIMAL in
+              -- DuckDB, and a scale-1 DECIMAL stringifies as '-2.7'
+              -- where the Spark double norms to '-2.700000'
+              SELECT round(b, 1)::DOUBLE AS best_score
+              FROM documents LEFT JOIN best ON documents.doc_id = best.id),
+            bk AS (SELECT best_score, count(*)::BIGINT AS n_records
+                   FROM per GROUP BY best_score),
+            tot AS (SELECT sum(n_records)::DOUBLE AS t FROM bk)
+            SELECT best_score, n_records,
+                   round(n_records / t, 6) AS prop,
+                   round(sum(n_records) OVER (
+                       ORDER BY best_score ASC NULLS FIRST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) / t, 6) AS cum_prop
+            FROM bk, tot
+        """,
         "ppl_buckets": f"""
             WITH lp AS ({_BIGRAM_SQL}),
             th AS (SELECT quantile_cont(avg_logprob2, 1.0/3) AS t_lo,

@@ -246,3 +246,128 @@ def adjusted_rand(
         F.col("_n").cast("long").alias("n_records"),
         F.round(ari, round_to).alias("ari"),
     )
+
+
+def vmeasure(
+    assign: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "entity_id",
+    truth_col: str = "entity_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Homogeneity / completeness / V-measure (Rosenberg & Hirschberg
+    2007) plus cluster purity — the information-theoretic complement to
+    :func:`bcubed` and :func:`adjusted_rand`:
+
+    - homogeneity  = 1 - H(T|C)/H(T): does each predicted cluster hold
+      a single true entity? (over-merging hurts this)
+    - completeness = 1 - H(C|T)/H(C): does each true entity land in a
+      single predicted cluster? (over-splitting hurts this)
+    - v_measure    = their harmonic mean
+    - purity       = Σ_c max_t n_ct / N (the classic but
+      chance-uncorrected "majority label" score, included because every
+      ER eval sheet still quotes it)
+
+    Same scale shape as the other metrics: ONE groupBy(c, t)
+    contingency table feeds every term; marginals reduce from the
+    table, never from records; entropies are Σ n ln n folds over table
+    rows (H(T|C) = (Σ_c n_c ln n_c − Σ_ct n_ct ln n_ct)/N, etc.), so
+    nothing scales with record count after the first groupBy. Natural
+    log throughout — the ratio of entropies makes the base cancel.
+    Degenerate cases per the paper: H(T)=0 → homogeneity 1, H(C)=0 →
+    completeness 1, both handled by coalesce(try_divide) since the
+    matching conditional entropy is then 0 as well.
+    """
+    a = assign.select(F.col(id_col).alias("_id"), F.col(cluster_col).alias("_c"))
+    t = truth.select(F.col(id_col).alias("_id"), F.col(truth_col).alias("_t"))
+    both = a.join(t, "_id")
+    n_ct = both.groupBy("_c", "_t").agg(F.count("*").alias("_nct"))
+    n_ct = n_ct.localCheckpoint(eager=False)  # feeds four reductions
+
+    nlogn = lambda c: c.cast("double") * F.log(c.cast("double"))  # noqa: E731
+
+    core = n_ct.agg(
+        F.sum(nlogn(F.col("_nct"))).alias("_sct"),
+        F.sum("_nct").alias("_n"),
+    )
+    byc = (
+        n_ct.groupBy("_c")
+        .agg(F.sum("_nct").alias("_nc"), F.max("_nct").alias("_maj"))
+        .agg(
+            F.sum(nlogn(F.col("_nc"))).alias("_sc"),
+            F.sum("_maj").alias("_majority"),
+        )
+    )
+    byt = (
+        n_ct.groupBy("_t")
+        .agg(F.sum("_nct").alias("_nt"))
+        .agg(F.sum(nlogn(F.col("_nt"))).alias("_st"))
+    )
+    j = core.crossJoin(F.broadcast(byc)).crossJoin(F.broadcast(byt))
+    n = F.col("_n").cast("double")
+    # H(T|C) = (Σ_c n_c ln n_c − Σ n_ct ln n_ct) / N ; H(T) = ln N − Σ_t n_t ln n_t / N
+    h_t_given_c = (F.col("_sc") - F.col("_sct")) / n
+    h_c_given_t = (F.col("_st") - F.col("_sct")) / n
+    h_t = F.log(n) - F.col("_st") / n
+    h_c = F.log(n) - F.col("_sc") / n
+    hom = F.lit(1.0) - F.coalesce(F.try_divide(h_t_given_c, h_t), F.lit(0.0))
+    com = F.lit(1.0) - F.coalesce(F.try_divide(h_c_given_t, h_c), F.lit(0.0))
+    v = F.coalesce(F.try_divide(2 * hom * com, hom + com), F.lit(0.0))
+    return j.select(
+        F.col("_n").cast("long").alias("n_records"),
+        F.round(hom, round_to).alias("homogeneity"),
+        F.round(com, round_to).alias("completeness"),
+        F.round(v, round_to).alias("v_measure"),
+        F.round(F.col("_majority") / n, round_to).alias("purity"),
+    )
+
+
+def unlinkables(
+    records: DataFrame,
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "fs_score",
+    pair_id_cols: tuple[str, str] = ("l_id", "r_id"),
+    round_to: int = 1,
+) -> DataFrame:
+    """Unlinkables analysis (Splink's `unlinkables_chart` semantics):
+    for every record in the blocking universe, take its BEST score over
+    every candidate pair it appears in (either side), then report, per
+    rounded best-score value, the share of records at that value and
+    the cumulative share at-or-below it. Reading the curve at a
+    proposed threshold tells you what fraction of records CANNOT link
+    at that threshold no matter how the clustering goes — the
+    data-quality ceiling a reviewer should see before trusting
+    precision numbers.
+
+    Records with no candidate pairs at all (blocking orphans) surface
+    as a NULL score bucket sorted first — they are the *definitely*
+    unlinkable mass, and hiding them is the classic way this chart
+    lies. Scale shape: explode pairs to (record, score) — 2 rows per
+    pair — one max-groupBy per record, one count-groupBy per bucket
+    (both map-side combinable), and a cumulative window over the <=
+    a-few-hundred distinct buckets, never over records.
+    """
+    l, r = pair_id_cols
+    sides = scored.select(
+        F.col(l).alias("_id"), F.col(score_col).alias("_s")
+    ).unionByName(scored.select(F.col(r).alias("_id"), F.col(score_col).alias("_s")))
+    best = sides.groupBy("_id").agg(F.max("_s").alias("_best"))
+    base = records.select(F.col(id_col).alias("_id")).distinct()
+    per_rec = base.join(best, "_id", "left").select(
+        F.round(F.col("_best"), round_to).alias("best_score")
+    )
+    buckets = per_rec.groupBy("best_score").agg(F.count("*").alias("n_records"))
+    total = F.sum("n_records").over(Window.partitionBy())
+    cum = F.sum("n_records").over(
+        Window.orderBy(F.asc_nulls_first("best_score")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return buckets.select(
+        "best_score",
+        "n_records",
+        F.round(F.col("n_records") / total, 6).alias("prop"),
+        F.round(cum / total, 6).alias("cum_prop"),
+    )

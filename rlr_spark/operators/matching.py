@@ -246,3 +246,72 @@ def linkage_waterfall(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def rule_cascade(
+    left: DataFrame,
+    right: DataFrame,
+    passes: list[tuple[str, Column, Column]],
+    l_id: str = "l_id",
+    r_id: str = "r_id",
+) -> DataFrame:
+    """Deterministic unique-unique multi-pass linkage (the conservative
+    census/economic-history matcher, e.g. Abramitzky-Boustan-Eriksson):
+    in each pass, compute a blocking/match key on each side and link a
+    left record to a right record iff the key value is held by EXACTLY
+    ONE still-unmatched record on EACH side; matched records leave the
+    pool on BOTH sides before the next (looser) pass runs.
+
+    This differs from :func:`linkage_waterfall` in two load-bearing
+    ways: uniqueness is required on both sides (a key shared by two
+    left records links nobody — no guessing between homonyms), and
+    the residual shrinks on the right too (a right record claimed by
+    pass 1 cannot also anchor a pass-2 link). Sequentiality across
+    passes is semantic, not incidental — pass-2 uniqueness is
+    evaluated among pass-1 *survivors*, which is what makes loose
+    late keys safe.
+
+    ``passes``: ordered (pass_name, left_key_expr, right_key_expr),
+    tightest first. NULL keys never match. Output: (l_id, r_id,
+    pass_name, pass_rank).
+
+    Scale shape: per pass, two map-side-combinable groupBys (key ->
+    count + the single id, so uniqueness filtering and id recovery are
+    one aggregate — no window, no second scan), one equi-join of the
+    two unique-key tables, and two anti-joins to shrink the residuals
+    (AQE broadcasts the matched set when small). Pass count is small
+    and fixed, so the driver loop is bounded and the lineage stays
+    shallow; no collects anywhere.
+    """
+    if not passes:
+        raise ValueError("at least one pass required")
+    res_l, res_r = left, right
+    out: DataFrame | None = None
+    for rank, (name, lk, rk) in enumerate(passes, start=1):
+        lu = (
+            res_l.select(F.col(l_id).alias("_lid"), lk.alias("_k"))
+            .where(F.col("_k").isNotNull())
+            .groupBy("_k")
+            .agg(F.count("*").alias("_n"), F.min("_lid").alias("_lid"))
+            .where(F.col("_n") == 1)
+            .select("_k", "_lid")
+        )
+        ru = (
+            res_r.select(F.col(r_id).alias("_rid"), rk.alias("_k"))
+            .where(F.col("_k").isNotNull())
+            .groupBy("_k")
+            .agg(F.count("*").alias("_n"), F.min("_rid").alias("_rid"))
+            .where(F.col("_n") == 1)
+            .select("_k", "_rid")
+        )
+        m = lu.join(ru, "_k").select(
+            F.col("_lid").alias(l_id),
+            F.col("_rid").alias(r_id),
+            F.lit(name).alias("pass_name"),
+            F.lit(rank).alias("pass_rank"),
+        )
+        out = m if out is None else out.unionByName(m)
+        res_l = res_l.join(m.select(l_id), l_id, "left_anti")
+        res_r = res_r.join(m.select(r_id), r_id, "left_anti")
+    assert out is not None
+    return out

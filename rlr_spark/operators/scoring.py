@@ -407,3 +407,49 @@ def pattern_diagnostics_sql(
                round(n_pairs / (nn * {mixture}), {round_to}) AS obs_exp_ratio
         FROM c, t
     """
+
+
+def fs_score_nullsafe(
+    df: DataFrame,
+    weights: FSWeights,
+    score_col: str = "fs_score",
+    gamma_prefix: str = "gamma_",
+) -> DataFrame:
+    """Fellegi-Sunter scoring with a three-level agreement pattern per
+    field: agree / disagree / MISSING. A NULL similarity (either
+    underlying field absent) contributes weight 0 — the field is
+    uninformative, exactly the m=u case — instead of being scored as a
+    disagreement the way :func:`fs_score` (two-level, NULL-unsafe
+    comparators upstream) would.
+
+    This is the standard missing-data treatment in probabilistic
+    linkage (Splink's default null_level; FS 1969 §3 "blank" handling):
+    penalizing absence as disagreement biases every sparse-field
+    record toward nonmatch and is the single most common source of
+    silently-depressed recall on real admin data, where field
+    missingness is 10-40%.
+
+    Emits one ``gamma_<field>`` column per field (2 agree / 0
+    disagree / -1 missing — the reviewable agreement pattern the
+    reference's comparison vectors correspond to) plus the summed
+    score. Pure column ops; the pattern columns cost nothing extra
+    since Catalyst shares the comparisons with the score terms.
+    """
+    out = df
+    terms: list[Column] = []
+    for col in weights.groups:
+        missing = F.col(col).isNull()
+        agree = F.col(col) >= F.lit(weights.agree_threshold)
+        out = out.withColumn(
+            gamma_prefix + col,
+            F.when(missing, F.lit(-1)).when(agree, F.lit(2)).otherwise(F.lit(0)),
+        )
+        terms.append(
+            F.when(missing, F.lit(0.0))
+            .when(agree, F.lit(weights.agreement_weight(col)))
+            .otherwise(F.lit(weights.disagreement_weight(col)))
+        )
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return out.withColumn(score_col, total)
