@@ -1298,6 +1298,10 @@ _EXTENDED = (
     "j2_grouped_projection",
     "graph_triangles",
     "em_weights",
+    # (same rotation, batch 2: clk_dice + soft_tfidf take driver rows;
+    # near-dup family keeps dedup_exact/dedup_minhash in-window)
+    "dedup_clusters",
+    "text_substring_dedup",
 )
 
 
@@ -1795,6 +1799,44 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", F.col("_t").alias("entity_id"))
         return vmeasure(pred, truth)
 
+    # -- CLK privacy-preserving linkage (functions/ppl.py): Bloom-filter
+    # bigram encodings compared by Dice within nationkey blocks; pure
+    # column ops (no UDF), position hashing bit-identical to the oracle ------
+    def clk_dice(spark, sf_dir):
+        from rlr_spark.functions.ppl import clk_positions, dice
+
+        cust = (
+            _t(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") <= 300)
+            .select(
+                F.col("c_custkey").alias("l_id"),
+                F.col("c_nationkey").alias("nk"),
+                clk_positions(F.col("c_name")).alias("_lp"),
+            )
+        )
+        supp = _t(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("r_id"),
+            F.col("s_nationkey").alias("nk"),
+            clk_positions(F.col("s_name")).alias("_rp"),
+        )
+        return cust.join(F.broadcast(supp), "nk").select(
+            "l_id",
+            "r_id",
+            F.round(dice(F.col("_lp"), F.col("_rp")), 6).alias("clk_dice"),
+        )
+
+    # -- Soft TF-IDF comparator (functions/tfidf.py): idf-weighted
+    # Jaro-Winkler hybrid over sampled same-source pairs ----------------------
+    def soft_tfidf(spark, sf_dir):
+        from rlr_spark.functions.tfidf import soft_tfidf_scores
+
+        p = (
+            _doc_pairs_same_source(spark, sf_dir)
+            .where((F.col("l_id") % 11 == 0) & (F.col("r_id") % 11 == 0))
+            .select("l_id", "r_id")
+        )
+        return soft_tfidf_scores(p, _t(spark, sf_dir, "documents"))
+
     # -- unlinkables analysis (operators/evaluate.py): per-record best
     # FS score distribution incl. the blocking-orphan NULL bucket -------------
     def unlinkables_curve(spark, sf_dir):
@@ -1830,6 +1872,8 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_null_levels": fs_null_levels,
         "cluster_vmeasure": cluster_vmeasure,
         "unlinkables": unlinkables_curve,
+        "clk_dice": clk_dice,
+        "soft_tfidf": soft_tfidf,
     }
 
 
@@ -1983,6 +2027,23 @@ def _asof_oracle() -> str:
                coalesce(round(r_value, 4), -1.0) AS r_value,
                coalesce(floor(epoch(r_ts))::BIGINT, -1) AS r_es
         FROM ({inner})
+    """
+
+
+def _clk_dice_oracle() -> str:
+    from rlr_spark.functions.ppl import clk_positions_sql, dice_sql
+
+    return f"""
+        WITH c AS (
+          SELECT c_custkey AS l_id, c_nationkey AS nk,
+                 {clk_positions_sql("c_name")} AS lp
+          FROM customer WHERE c_custkey <= 300),
+        s AS (
+          SELECT s_suppkey AS r_id, s_nationkey AS nk,
+                 {clk_positions_sql("s_name")} AS rp
+          FROM supplier)
+        SELECT l_id, r_id, round({dice_sql("lp", "rp")}, 6) AS clk_dice
+        FROM c JOIN s USING (nk)
     """
 
 
@@ -3354,6 +3415,53 @@ def _oracle_sql_full() -> dict[str, str]:
                          6) AS v_measure,
                    round(pur, 6) AS purity
             FROM f
+        """,
+        # CLK Bloom-filter PPRL (functions/ppl.py): identical position
+        # hashing rebuilt in SQL (md5 tail byte % 64, k=4 per bigram)
+        "clk_dice": _clk_dice_oracle(),
+        # Soft TF-IDF (functions/tfidf.py): DuckDB's
+        # jaro_winkler_similarity is bit-identical to the repo's UDF;
+        # best-partner ties broken by max weight in BOTH engines
+        "soft_tfidf": """
+            WITH dd AS (
+              SELECT doc_id AS id,
+                     list_distinct((string_split(lower(trim(text)), ' '))[1:6]) AS ts
+              FROM documents),
+            n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+            tok AS (SELECT id, unnest(ts) AS tok FROM dd),
+            idf AS (
+              SELECT tok, ln((nd + 1) / (count(*) + 1)) + 1.0 AS idf
+              FROM tok, n GROUP BY tok, nd),
+            w AS (SELECT id, tok.tok, idf FROM tok JOIN idf USING (tok)),
+            nrm AS (SELECT id, sqrt(sum(idf * idf)) AS nn FROM w GROUP BY id),
+            v AS (SELECT w.id, tok, idf / nn AS v FROM w JOIN nrm USING (id)),
+            p AS (
+              SELECT a.doc_id AS l_id, b.doc_id AS r_id
+              FROM documents a JOIN documents b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 11 = 0 AND b.doc_id % 11 = 0),
+            cx AS (
+              SELECT p.l_id, p.r_id, lv.tok AS lt, lv.v AS lvw,
+                     rv.v AS rvw,
+                     jaro_winkler_similarity(lv.tok, rv.tok) AS jw
+              FROM p JOIN v lv ON lv.id = p.l_id
+                     JOIN v rv ON rv.id = p.r_id),
+            cl AS (
+              SELECT l_id, r_id, lt, lvw, max(jw) AS m
+              FROM cx GROUP BY l_id, r_id, lt, lvw
+              HAVING max(jw) >= 0.9),
+            sel AS (
+              SELECT cl.l_id, cl.r_id, cl.lt, cl.lvw, cl.m,
+                     max(cx.rvw) AS rvb
+              FROM cl JOIN cx ON cx.l_id = cl.l_id AND cx.r_id = cl.r_id
+                              AND cx.lt = cl.lt AND cx.jw = cl.m
+              GROUP BY cl.l_id, cl.r_id, cl.lt, cl.lvw, cl.m),
+            sc AS (
+              SELECT l_id, r_id, sum(lvw * rvb * m) AS s
+              FROM sel GROUP BY l_id, r_id)
+            SELECT p.l_id, p.r_id,
+                   round(coalesce(s, 0.0), 6) AS soft_tfidf
+            FROM p LEFT JOIN sc ON sc.l_id = p.l_id AND sc.r_id = p.r_id
         """,
         # unlinkables curve (operators/evaluate.py): per-record best FS
         # score; blocking orphans surface as the NULLS FIRST bucket

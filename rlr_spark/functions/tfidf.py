@@ -139,3 +139,92 @@ def all_pairs_cosine_sql(
     GROUP BY a._id, b._id
     HAVING sum(a.w * b.w) >= {threshold}
     """
+
+
+def soft_tfidf_scores(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    theta: float = 0.9,
+    max_tokens: int = 6,
+    out_col: str = "soft_tfidf",
+    round_to: int = 6,
+) -> DataFrame:
+    """Soft TF-IDF (Cohen, Ravikumar & Fienberg 2003) — the hybrid
+    comparator that beat every pure string distance in their SecondString
+    benchmarks: corpus-level TF-IDF weighting (rare tokens matter more)
+    combined with token-level Jaro-Winkler fuzziness (typos inside
+    tokens still count).
+
+        score(S,T) = Σ_{w ∈ S, maxjw(w,T) >= θ} V(w,S) · V(v*,T) · maxjw
+
+    with V the unit-normalized idf weight over the doc's first
+    ``max_tokens`` distinct tokens (set semantics: tf=1 — field
+    comparators see names, not prose) and v* the best-JW partner of w
+    in T (ties broken by the larger weight, deterministically — NOT by
+    engine-dependent arg_max tie order, which is what makes this
+    oracle-checkable).
+
+    Plan shape: idf + norms are two corpus-level groupBys (O(docs));
+    the per-pair token cross product is bounded by ``max_tokens``^2
+    rows per pair and runs the existing Arrow-batched JW over one flat
+    column; best-partner selection is one groupBy (max jw) + one
+    equality-join back (rows where jw equals the max) + a max — no
+    windows, no UDAFs, every aggregation map-side combinable.
+    """
+    from rlr_spark.functions.similarity import jaro_winkler_udf
+
+    trimmed = F.trim(F.lower(F.col(text_col)))
+    ts = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.slice(F.split(trimmed, r"\s+"), 1, max_tokens)).alias("_ts"),
+    )
+    n_docs = docs.count()
+    tok = ts.select("_id", F.explode("_ts").alias("tok"))
+    idf = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "tok",
+            (F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + 1.0).alias("idf"),
+        )
+    )
+    w = tok.join(F.broadcast(idf), "tok")
+    norms = w.groupBy("_id").agg(F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("_n"))
+    v = w.join(norms, "_id").select(
+        "_id", "tok", (F.col("idf") / F.col("_n")).alias("v")
+    )
+    lv = v.select(F.col("_id").alias("l_id"), F.col("tok").alias("_lt"), F.col("v").alias("_lv"))
+    rv = v.select(F.col("_id").alias("r_id"), F.col("tok").alias("_rt"), F.col("v").alias("_rv"))
+    cross = (
+        pairs.select("l_id", "r_id")
+        .join(lv, "l_id")
+        .join(rv, "r_id")
+        .withColumn("_jw", jaro_winkler_udf(F.col("_lt"), F.col("_rt")))
+    )
+    cross = cross.localCheckpoint(eager=False)  # reused by close + sel
+    close = (
+        cross.groupBy("l_id", "r_id", "_lt", "_lv")
+        .agg(F.max("_jw").alias("_m"))
+        .where(F.col("_m") >= theta)
+    )
+    sel = (
+        cross.select("l_id", "r_id", "_lt", "_rv", "_jw")
+        .join(close, ["l_id", "r_id", "_lt"])
+        .where(F.col("_jw") == F.col("_m"))
+        .groupBy("l_id", "r_id", "_lt", "_lv", "_m")
+        .agg(F.max("_rv").alias("_rvb"))
+    )
+    score = sel.groupBy("l_id", "r_id").agg(
+        F.sum(F.col("_lv") * F.col("_rvb") * F.col("_m")).alias("_s")
+    )
+    return (
+        pairs.select("l_id", "r_id")
+        .join(score, ["l_id", "r_id"], "left")
+        .select(
+            "l_id",
+            "r_id",
+            F.round(F.coalesce(F.col("_s"), F.lit(0.0)), round_to).alias(out_col),
+        )
+    )

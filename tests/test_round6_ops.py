@@ -197,3 +197,62 @@ def test_unlinkables_curve(spark):
     assert [r["best_score"] for r in rows[1:]] == [-1.0, 3.2]
     assert [r["n_records"] for r in rows[1:]] == [1, 2]
     assert rows[-1]["cum_prop"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# CLK Bloom-filter PPRL
+# ---------------------------------------------------------------------------
+
+def test_clk_positions_parity_and_dice(spark):
+    import duckdb
+
+    from rlr_spark.functions.ppl import clk_positions, clk_positions_sql, dice
+
+    rows = [("Smith, John",), ("Smyth, Jon",), ("",), (None,)]
+    df = spark.createDataFrame(rows, ["name"])
+    got = [
+        list(r["p"])
+        for r in df.select(clk_positions(F.col("name")).alias("p")).collect()
+    ]
+    con = duckdb.connect()
+    expr = clk_positions_sql("name")
+    for g, (raw,) in zip(got, rows):
+        want = con.execute(f"SELECT {expr} FROM (SELECT ? AS name)", [raw]).fetchone()[0]
+        assert g == list(want)
+    # similar names share most positions; dice reflects that
+    d = (
+        spark.createDataFrame([(got[0], got[1]), (got[0], got[0])], ["l", "r"])
+        .select(F.round(dice(F.col("l"), F.col("r")), 6).alias("d"))
+        .collect()
+    )
+    assert d[1]["d"] == 1.0
+    assert 0.5 < d[0]["d"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# Soft TF-IDF
+# ---------------------------------------------------------------------------
+
+def test_soft_tfidf_identity_and_fuzz(spark):
+    from rlr_spark.functions.tfidf import soft_tfidf_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "acme corp pittsburgh"),
+            (2, "acme corp pittsburgh"),
+            (3, "acme corporation pitsburgh"),
+            (4, "zenith ltd boston"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], ["l_id", "r_id"])
+    got = {
+        (r["l_id"], r["r_id"]): r["soft_tfidf"]
+        for r in soft_tfidf_scores(pairs, docs, theta=0.85).collect()
+    }
+    # identical docs: unit-normalized weights, jw=1 everywhere -> 1.0
+    assert got[(1, 2)] == pytest.approx(1.0, abs=1e-6)
+    # typo'd tokens still matched through JW: high but < 1
+    assert 0.6 < got[(1, 3)] < 1.0
+    # no token pair above theta: exactly 0 (row kept, not dropped)
+    assert got[(1, 4)] == 0.0
