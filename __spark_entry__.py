@@ -1298,10 +1298,12 @@ _EXTENDED = (
     "j2_grouped_projection",
     "graph_triangles",
     "em_weights",
-    # (same rotation, batch 2: clk_dice + soft_tfidf take driver rows;
-    # near-dup family keeps dedup_exact/dedup_minhash in-window)
+    # (same rotation, batch 2: clk_dice + soft_tfidf + graph_adamic_adar
+    # take driver rows; near-dup family keeps dedup_exact/dedup_minhash
+    # in-window, text family keeps text_stats/corpus_filter)
     "dedup_clusters",
     "text_substring_dedup",
+    "text_lang_id",
 )
 
 
@@ -1837,6 +1839,20 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return soft_tfidf_scores(p, _t(spark, sf_dir, "documents"))
 
+    # -- Adamic-Adar collective-ER evidence (functions/graph.py): shared
+    # rare suppliers as relationship overlap between customers ---------------
+    def graph_adamic_adar(spark, sf_dir):
+        from rlr_spark.functions.graph import adamic_adar
+
+        o = _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("u")
+        )
+        li = _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s")
+        )
+        e = o.join(li, "ok").where(F.col("u") <= 200).select("u", "s")
+        return adamic_adar(e)
+
     # -- unlinkables analysis (operators/evaluate.py): per-record best
     # FS score distribution incl. the blocking-orphan NULL bucket -------------
     def unlinkables_curve(spark, sf_dir):
@@ -1874,6 +1890,7 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unlinkables": unlinkables_curve,
         "clk_dice": clk_dice,
         "soft_tfidf": soft_tfidf,
+        "graph_adamic_adar": graph_adamic_adar,
     }
 
 
@@ -3462,6 +3479,21 @@ def _oracle_sql_full() -> dict[str, str]:
             SELECT p.l_id, p.r_id,
                    round(coalesce(s, 0.0), 6) AS soft_tfidf
             FROM p LEFT JOIN sc ON sc.l_id = p.l_id AND sc.r_id = p.r_id
+        """,
+        # Adamic-Adar (functions/graph.py): distinct bipartite edges ->
+        # inverse-log degree weights -> wedge self-join on the supplier
+        "graph_adamic_adar": """
+            WITH e AS (
+              SELECT DISTINCT o_custkey AS u, l_suppkey AS s
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE o_custkey <= 200),
+            deg AS (
+              SELECT s, 1.0 / ln(count(*)::DOUBLE) AS w
+              FROM e GROUP BY s HAVING count(*) >= 2)
+            SELECT a.u AS l_id, b.u AS r_id, round(sum(w), 6) AS aa
+            FROM e a JOIN e b ON a.s = b.s AND a.u < b.u
+                 JOIN deg ON deg.s = a.s
+            GROUP BY a.u, b.u
         """,
         # unlinkables curve (operators/evaluate.py): per-record best FS
         # score; blocking orphans surface as the NULLS FIRST bucket

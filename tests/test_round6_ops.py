@@ -256,3 +256,25 @@ def test_soft_tfidf_identity_and_fuzz(spark):
     assert 0.6 < got[(1, 3)] < 1.0
     # no token pair above theta: exactly 0 (row kept, not dropped)
     assert got[(1, 4)] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar
+# ---------------------------------------------------------------------------
+
+def test_adamic_adar_known_graph(spark):
+    from rlr_spark.functions.graph import adamic_adar
+
+    # u1,u2 share s1 (deg 2) and s2 (deg 3); u1,u3 share only s2;
+    # s3 has deg 1 -> contributes nothing (and never divides by ln 1)
+    edges = spark.createDataFrame(
+        [(1, "s1"), (2, "s1"), (1, "s2"), (2, "s2"), (3, "s2"), (3, "s3"),
+         (1, "s2")],  # duplicate edge must not double-count
+        ["u", "s"],
+    )
+    got = {(r["l_id"], r["r_id"]): r["aa"] for r in adamic_adar(edges).collect()}
+    w2, w3 = 1 / math.log(2), 1 / math.log(3)
+    assert got[(1, 2)] == pytest.approx(w2 + w3, abs=1e-6)
+    assert got[(1, 3)] == pytest.approx(w3, abs=1e-6)
+    assert got[(2, 3)] == pytest.approx(w3, abs=1e-6)
+    assert len(got) == 3
