@@ -228,3 +228,56 @@ def test_golden_records_one_aggregation_for_many_mode_cols(spark):
     # ride the ONE entity-key aggregation and add zero exchanges
     assert three == one, plan3
     assert "partial_mode(lang" in plan3 and "partial_mode(site" in plan3, plan3
+
+
+def test_adamic_adar_no_cartesian_and_mapside_combine(spark):
+    from pyspark.sql import functions as F
+
+    from rlr_spark.functions.graph import adamic_adar
+    from rlr_spark.plans import physical_plan
+
+    edges = spark.range(200).select(
+        (F.col("id") % 50).alias("u"), (F.col("id") % 7).cast("string").alias("s")
+    )
+    plan = physical_plan(adamic_adar(edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the wedge join must be a hash join on the right-node key
+    assert "HashJoin" in plan
+
+
+def test_rule_cascade_no_windows(spark):
+    from pyspark.sql import functions as F
+
+    from rlr_spark.operators.matching import rule_cascade
+    from rlr_spark.plans import physical_plan
+
+    left = spark.range(100).select(
+        F.col("id").alias("l_id"), (F.col("id") % 37).cast("string").alias("k")
+    )
+    right = spark.range(80).select(
+        F.col("id").alias("r_id"), (F.col("id") % 41).cast("string").alias("k")
+    )
+    out = rule_cascade(
+        left, right, [("p1", F.col("k"), F.col("k")), ("p2", F.col("k"), F.col("k"))]
+    )
+    plan = physical_plan(out)
+    # uniqueness is groupBy count==1 + min(id) in ONE aggregate —
+    # never a per-key window (which would sort within partitions)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_clk_positions_stay_codegen_no_udf(spark):
+    from pyspark.sql import functions as F
+
+    from rlr_spark.functions.ppl import clk_positions
+    from rlr_spark.plans import physical_plan
+
+    df = spark.range(50).select(F.concat(F.lit("name"), F.col("id")).alias("n"))
+    plan = physical_plan(df.select(clk_positions(F.col("n")).alias("p")))
+    # encoding is pure column expressions: no Python evaluation nodes,
+    # no exchange — a 10^12-row encode is a scan
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
