@@ -1304,6 +1304,14 @@ _EXTENDED = (
     "dedup_clusters",
     "text_substring_dedup",
     "text_lang_id",
+    # (batch 3: token_sort + cluster_stability take driver rows —
+    # text_stats' column ops re-exercised by corpus_filter/text_chunks,
+    # lr_linkage's LR blocking shape by link_cascade + clk_dice;
+    # rrf_fusion starts in the extended set, retrieval family keeps
+    # bm25_topk in-window)
+    "text_stats",
+    "lr_linkage",
+    "rrf_fusion",
 )
 
 
@@ -1853,6 +1861,44 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = o.join(li, "ok").where(F.col("u") <= 200).select("u", "s")
         return adamic_adar(e)
 
+    # -- token-sort ratio (functions/similarity.py): order-free
+    # Levenshtein over sorted token lists, pure codegen column ops -----------
+    def token_sort(spark, sf_dir):
+        from rlr_spark.functions.similarity import token_sort_sim
+
+        p = _doc_pairs_same_source(spark, sf_dir).where(
+            (F.col("l_id") % 11 == 0) & (F.col("r_id") % 11 == 0)
+        )
+        return p.select(
+            "l_id",
+            "r_id",
+            F.round(token_sort_sim(F.col("l_text"), F.col("r_text")), 6).alias(
+                "token_sort_sim"
+            ),
+        )
+
+    # -- cluster stability across thresholds (operators/evaluate.py):
+    # the threshold-picking curve — per threshold, CC + entity sizes ---------
+    def cluster_stability_q(spark, sf_dir):
+        from rlr_spark.operators.evaluate import cluster_stability
+
+        sc = (
+            _fs_scored_pairs(spark, sf_dir)
+            .select("l_id", "r_id", "fs_score")
+            .localCheckpoint(eager=False)
+        )
+        return cluster_stability(sc, thresholds=[0.0, 5.0, 8.0])
+
+    # -- reciprocal-rank fusion (functions/retrieval.py): per-record
+    # shortlist fused from incomparable comparator scales --------------------
+    def rrf_fusion(spark, sf_dir):
+        from rlr_spark.functions.retrieval import rrf_fuse
+
+        sc = _fs_scored_pairs(spark, sf_dir).select(
+            "l_id", "r_id", "jaccard", "fs_score"
+        )
+        return rrf_fuse(sc, by=["jaccard", "fs_score"], k=60, top=3)
+
     # -- unlinkables analysis (operators/evaluate.py): per-record best
     # FS score distribution incl. the blocking-orphan NULL bucket -------------
     def unlinkables_curve(spark, sf_dir):
@@ -1891,6 +1937,9 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clk_dice": clk_dice,
         "soft_tfidf": soft_tfidf,
         "graph_adamic_adar": graph_adamic_adar,
+        "token_sort": token_sort,
+        "cluster_stability": cluster_stability_q,
+        "rrf_fusion": rrf_fusion,
     }
 
 
@@ -3494,6 +3543,81 @@ def _oracle_sql_full() -> dict[str, str]:
             FROM e a JOIN e b ON a.s = b.s AND a.u < b.u
                  JOIN deg ON deg.s = a.s
             GROUP BY a.u, b.u
+        """,
+        # token-sort ratio (functions/similarity.py): sort-join-edit;
+        # DuckDB levenshtein is parity-verified, list_sort on ASCII
+        # tokens matches Spark's UTF8-binary array_sort
+        "token_sort": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     array_to_string(list_sort(
+                       (string_split(lower(trim(text)), ' '))[1:32]), ' ') AS st
+              FROM documents),
+            p AS (
+              SELECT a.doc_id AS l_id, b.doc_id AS r_id, a.st AS ls, b.st AS rs
+              FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE a.doc_id % 11 = 0 AND b.doc_id % 11 = 0)
+            SELECT l_id, r_id,
+                   round(CASE WHEN greatest(len(ls), len(rs)) = 0 THEN 1.0
+                         ELSE 1.0 - levenshtein(ls, rs)::DOUBLE
+                                    / greatest(len(ls), len(rs))::DOUBLE
+                         END, 6) AS token_sort_sim
+            FROM p
+        """,
+        # cluster stability (operators/evaluate.py): one recursive CC
+        # walk tagged by threshold; empty-edge thresholds keep a zero
+        # row via the LEFT JOIN from the threshold list
+        "cluster_stability": f"""
+            WITH RECURSIVE sc AS ({_FS_SQL}),
+            th(t) AS (SELECT unnest([0.0, 5.0, 8.0]::DOUBLE[])),
+            e(t, src, dst) AS (
+              SELECT t, l_id, r_id FROM sc, th WHERE fs_score >= t
+              UNION ALL
+              SELECT t, r_id, l_id FROM sc, th WHERE fs_score >= t),
+            nodes AS (SELECT DISTINCT t, src AS n FROM e),
+            walk(t, node, comp) AS (
+              SELECT t, n, n FROM nodes
+              UNION
+              SELECT e.t, e.dst, w.comp
+              FROM walk w JOIN e ON e.t = w.t AND e.src = w.node),
+            comp AS (SELECT t, node, min(comp) AS c FROM walk GROUP BY t, node),
+            sizes AS (
+              SELECT t, c, count(*)::BIGINT AS sz
+              FROM comp GROUP BY t, c HAVING count(*) >= 2),
+            agg AS (
+              SELECT t, count(*)::BIGINT AS ne, sum(sz)::BIGINT AS nl,
+                     max(sz) AS mx
+              FROM sizes GROUP BY t)
+            SELECT th.t AS threshold,
+                   coalesce(ne, 0)::BIGINT AS n_entities,
+                   coalesce(nl, 0)::BIGINT AS n_linked_records,
+                   coalesce(mx, 0)::BIGINT AS max_cluster_size
+            FROM th LEFT JOIN agg ON agg.t = th.t
+        """,
+        # RRF fusion (functions/retrieval.py): per-left-record rank
+        # windows, ties on r_id asc in both engines
+        "rrf_fusion": f"""
+            WITH sc AS (
+              SELECT l_id, r_id, jaccard, fs_score FROM ({_FS_SQL})),
+            rk AS (
+              SELECT l_id, r_id,
+                row_number() OVER (PARTITION BY l_id
+                  ORDER BY jaccard DESC, r_id ASC) AS r1,
+                row_number() OVER (PARTITION BY l_id
+                  ORDER BY fs_score DESC, r_id ASC) AS r2
+              FROM sc),
+            fused AS (
+              SELECT l_id, r_id,
+                     1.0::DOUBLE / (60 + r1) + 1.0::DOUBLE / (60 + r2) AS s
+              FROM rk),
+            cut AS (
+              SELECT l_id, r_id, s,
+                row_number() OVER (PARTITION BY l_id
+                  ORDER BY s DESC, r_id ASC) AS fused_rank
+              FROM fused)
+            SELECT l_id, r_id, round(s, 6) AS rrf_score,
+                   fused_rank::INTEGER AS fused_rank
+            FROM cut WHERE fused_rank <= 3
         """,
         # unlinkables curve (operators/evaluate.py): per-record best FS
         # score; blocking orphans surface as the NULLS FIRST bucket

@@ -259,3 +259,24 @@ def monge_elkan_scores(
         .join(scored, id_cols, "left")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0.0)))
     )
+
+
+def token_sort_sim(l: Column, r: Column, max_tokens: int = 32) -> Column:
+    """Token-sort ratio (the fuzzywuzzy classic): sort the tokens, join
+    with single spaces, then normalized Levenshtein — word-order
+    differences ("john smith" vs "smith, john" after punctuation
+    normalization) cost nothing, while per-token typos still register.
+    Duplicates are kept (multiset semantics, as in the original).
+
+    Pure JVM column ops (split/sort/join + built-in levenshtein), so it
+    codegens; ``max_tokens`` caps the sort + the quadratic edit distance
+    on pathological inputs, same rationale as the other comparators.
+    """
+    def sorted_join(c: Column) -> Column:
+        toks = F.slice(F.split(F.trim(F.lower(c)), r"\s+"), 1, max_tokens)
+        return F.array_join(F.array_sort(toks), " ")
+
+    ls, rs = sorted_join(l), sorted_join(r)
+    dist = F.levenshtein(ls, rs).cast("double")
+    mx = F.greatest(F.length(ls), F.length(rs)).cast("double")
+    return F.when(mx == 0, F.lit(1.0)).otherwise(F.lit(1.0) - dist / mx)

@@ -371,3 +371,46 @@ def unlinkables(
         F.round(F.col("n_records") / total, 6).alias("prop"),
         F.round(cum / total, 6).alias("cum_prop"),
     )
+
+
+def cluster_stability(
+    scored: DataFrame,
+    thresholds: list[float],
+    score_col: str = "fs_score",
+    pair_id_cols: tuple[str, str] = ("l_id", "r_id"),
+) -> DataFrame:
+    """How does the clustering change as the match threshold moves? For
+    each threshold t: build the edge set {pairs with score >= t}, run
+    connected components, and report the non-singleton entity count,
+    the number of records they absorb, and the largest entity size —
+    the three numbers a reviewer reads to pick a threshold (a largest-
+    cluster explosion between two thresholds is the classic sign the
+    lower one bridges distinct entities through a hub record).
+
+    Driver loop over the (small, fixed) threshold list; per threshold
+    one CC run + one size groupBy + a 1-row aggregate. The scored-pair
+    table is evaluated once per threshold via its cached/checkpointed
+    lineage — callers at scale pass a persisted `scored`.
+    """
+    from rlr_spark.operators.cluster import connected_components
+
+    l, r = pair_id_cols
+    out: DataFrame | None = None
+    for t in thresholds:
+        edges = scored.where(F.col(score_col) >= t).select(
+            F.col(l).alias("u"), F.col(r).alias("v")
+        )
+        sizes = (
+            connected_components(edges)
+            .groupBy("entity_id")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .where(F.col("_sz") >= 2)
+        )
+        row = sizes.agg(
+            F.count(F.lit(1)).alias("n_entities"),
+            F.coalesce(F.sum("_sz"), F.lit(0)).alias("n_linked_records"),
+            F.coalesce(F.max("_sz"), F.lit(0)).alias("max_cluster_size"),
+        ).select(F.lit(float(t)).alias("threshold"), "*")
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out

@@ -278,3 +278,57 @@ def test_adamic_adar_known_graph(spark):
     assert got[(1, 3)] == pytest.approx(w3, abs=1e-6)
     assert got[(2, 3)] == pytest.approx(w3, abs=1e-6)
     assert len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# token-sort ratio / cluster stability / RRF fusion
+# ---------------------------------------------------------------------------
+
+def test_token_sort_order_free(spark):
+    from rlr_spark.functions.similarity import token_sort_sim
+
+    df = spark.createDataFrame(
+        [("john smith", "smith john"), ("john smith", "jon smith"), ("", "")],
+        ["l", "r"],
+    )
+    got = [
+        r["s"]
+        for r in df.select(F.round(token_sort_sim(F.col("l"), F.col("r")), 6).alias("s")).collect()
+    ]
+    assert got[0] == 1.0  # pure reordering costs nothing
+    assert 0.85 < got[1] < 1.0  # one dropped char
+    assert got[2] == 1.0
+
+
+def test_cluster_stability_regimes(spark):
+    from rlr_spark.operators.evaluate import cluster_stability
+
+    # chain 1-2-3 at score >= 1; only 1-2 at >= 5; nothing at >= 9
+    scored = spark.createDataFrame(
+        [(1, 2, 6.0), (2, 3, 2.0)], ["l_id", "r_id", "fs_score"]
+    )
+    rows = {
+        r["threshold"]: (r["n_entities"], r["n_linked_records"], r["max_cluster_size"])
+        for r in cluster_stability(scored, thresholds=[1.0, 5.0, 9.0]).collect()
+    }
+    assert rows[1.0] == (1, 3, 3)
+    assert rows[5.0] == (1, 2, 2)
+    assert rows[9.0] == (0, 0, 0)  # empty edge set still yields a row
+
+
+def test_rrf_fusion_per_record_shortlist(spark):
+    from rlr_spark.functions.retrieval import rrf_fuse
+
+    # metric a prefers r=10, metric b prefers r=11 -> fused ranks blend
+    pairs = spark.createDataFrame(
+        [(1, 10, 0.9, 1.0), (1, 11, 0.8, 5.0), (1, 12, 0.1, 0.1)],
+        ["l_id", "r_id", "a", "b"],
+    )
+    rows = rrf_fuse(pairs, by=["a", "b"], k=60, top=2).collect()
+    got = {(r["l_id"], r["r_id"]): r["fused_rank"] for r in rows}
+    assert len(got) == 2  # top cut applied
+    assert (1, 12) not in got  # worst on both metrics
+    # 10: ranks (1, 2) -> 1/61+1/62 ; 11: ranks (2, 1) -> same sum; tie
+    # breaks on r_id asc
+    assert got[(1, 10)] == 1
+    assert got[(1, 11)] == 2
