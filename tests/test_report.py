@@ -34,3 +34,38 @@ def test_render_label_summary(spark):
     out = render_label_summary(df, ["Match", "Not a Match"])
     assert "Label Summary" in out and "Match" in out and "Unlabeled" in out
     assert "Total" in out
+
+
+def test_linkage_quality_report_sections(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from rlr_spark.report import linkage_quality_report
+
+    scored = spark.createDataFrame(
+        [(1, 2, 6.2), (2, 3, 2.1), (1, 3, -3.0), (4, 5, 6.0)],
+        ["l_id", "r_id", "fs_score"],
+    )
+    records = spark.createDataFrame([(i,) for i in range(1, 8)], ["doc_id"])
+    truth = spark.createDataFrame([(1, 2), (4, 5)], ["l_id", "r_id"])
+    md = linkage_quality_report(
+        scored, records=records, truth=truth, thresholds=(0.0, 5.0)
+    )
+    assert "# Linkage quality report" in md
+    assert "## Score distribution (4 scored pairs)" in md
+    assert "## Unlinkables" in md
+    assert "## Threshold sweep" in md
+    assert "## Cluster stability" in md
+    # records 6,7 have no candidates -> NULL bucket present
+    assert "None | 2" in md.replace("| ", "| ").replace("  ", " ") or "None" in md
+    # stability at t=5.0: two separate 2-clusters
+    assert "| 5.0 | 2 | 4 | 2 |" in md
+
+
+def test_linkage_quality_report_minimal(spark):
+    from rlr_spark.report import linkage_quality_report
+
+    scored = spark.createDataFrame([(1, 2, 1.0)], ["l_id", "r_id", "fs_score"])
+    md = linkage_quality_report(scored)
+    assert "Score distribution" in md
+    assert "Unlinkables" not in md
+    assert "Threshold sweep" not in md
