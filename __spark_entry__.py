@@ -1312,6 +1312,8 @@ _EXTENDED = (
     "text_stats",
     "lr_linkage",
     "rrf_fusion",
+    # c2_numeric starts extended (comparator family well-repped in-window)
+    "c2_numeric",
 )
 
 
@@ -1899,6 +1901,33 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return rrf_fuse(sc, by=["jaccard", "fs_score"], k=60, top=3)
 
+    # -- numeric tolerance levels (functions/similarity.py): Splink-style
+    # amount comparator over blocked customer-supplier balances --------------
+    def c2_numeric(spark, sf_dir):
+        from rlr_spark.functions.similarity import numeric_levels
+
+        cust = (
+            _t(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") <= 300)
+            .select(
+                F.col("c_custkey").alias("l_id"),
+                F.col("c_nationkey").alias("nk"),
+                F.col("c_acctbal").alias("_lb"),
+            )
+        )
+        supp = _t(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("r_id"),
+            F.col("s_nationkey").alias("nk"),
+            F.col("s_acctbal").alias("_rb"),
+        )
+        return cust.join(F.broadcast(supp), "nk").select(
+            "l_id",
+            "r_id",
+            numeric_levels(
+                F.col("_lb"), F.col("_rb"), abs_tol=100.0, rel_tol=0.2
+            ).alias("gamma_bal"),
+        )
+
     # -- unlinkables analysis (operators/evaluate.py): per-record best
     # FS score distribution incl. the blocking-orphan NULL bucket -------------
     def unlinkables_curve(spark, sf_dir):
@@ -1940,6 +1969,7 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_sort": token_sort,
         "cluster_stability": cluster_stability_q,
         "rrf_fusion": rrf_fusion,
+        "c2_numeric": c2_numeric,
     }
 
 
@@ -3618,6 +3648,19 @@ def _oracle_sql_full() -> dict[str, str]:
             SELECT l_id, r_id, round(s, 6) AS rrf_score,
                    fused_rank::INTEGER AS fused_rank
             FROM cut WHERE fused_rank <= 3
+        """,
+        # numeric tolerance gamma (functions/similarity.py): identical
+        # IEEE double arithmetic in both engines
+        "c2_numeric": """
+            SELECT c_custkey AS l_id, s_suppkey AS r_id,
+                   CASE WHEN c_acctbal IS NULL OR s_acctbal IS NULL THEN -1
+                        WHEN abs(c_acctbal - s_acctbal) <= 100.0 THEN 2
+                        WHEN abs(c_acctbal - s_acctbal)
+                             / greatest(abs(c_acctbal), abs(s_acctbal)) <= 0.2
+                          THEN 1
+                        ELSE 0 END AS gamma_bal
+            FROM customer JOIN supplier ON c_nationkey = s_nationkey
+            WHERE c_custkey <= 300
         """,
         # unlinkables curve (operators/evaluate.py): per-record best FS
         # score; blocking orphans surface as the NULLS FIRST bucket

@@ -280,3 +280,33 @@ def token_sort_sim(l: Column, r: Column, max_tokens: int = 32) -> Column:
     dist = F.levenshtein(ls, rs).cast("double")
     mx = F.greatest(F.length(ls), F.length(rs)).cast("double")
     return F.when(mx == 0, F.lit(1.0)).otherwise(F.lit(1.0) - dist / mx)
+
+
+def numeric_levels(
+    l: Column,
+    r: Column,
+    abs_tol: float = 0.0,
+    rel_tol: float = 0.05,
+) -> Column:
+    """Numeric agreement gamma with tolerance levels (the Splink-style
+    numeric comparison): 2 when |l-r| <= ``abs_tol`` (exact-ish), 1 when
+    the relative difference |l-r|/max(|l|,|r|) <= ``rel_tol`` (close),
+    0 otherwise, -1 when either side is NULL (missing — scored as
+    uninformative by :func:`~rlr_spark.operators.scoring.fs_score_nullsafe`).
+
+    Amounts, counts and balances disagree by drift and rounding, not by
+    typo, so string comparators are the wrong tool; exact equality
+    alone throws away the "same account, interest accrued" signal.
+    Pure column ops; the both-zero case short-circuits at the absolute
+    level before the relative division can see a zero denominator.
+    """
+    ld, rd = l.cast("double"), r.cast("double")
+    missing = ld.isNull() | rd.isNull()
+    ad = F.abs(ld - rd)
+    rel = ad / F.greatest(F.abs(ld), F.abs(rd))
+    return (
+        F.when(missing, F.lit(-1))
+        .when(ad <= F.lit(float(abs_tol)), F.lit(2))
+        .when(rel <= F.lit(float(rel_tol)), F.lit(1))
+        .otherwise(F.lit(0))
+    )

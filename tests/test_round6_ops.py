@@ -332,3 +332,20 @@ def test_rrf_fusion_per_record_shortlist(spark):
     # breaks on r_id asc
     assert got[(1, 10)] == 1
     assert got[(1, 11)] == 2
+
+
+def test_numeric_levels(spark):
+    from rlr_spark.functions.similarity import numeric_levels
+
+    df = spark.createDataFrame(
+        [(100.0, 101.0), (100.0, 115.0), (100.0, 300.0), (None, 5.0), (0.0, 0.0)],
+        ["l", "r"],
+    )
+    got = [
+        r["g"]
+        for r in df.select(
+            numeric_levels(F.col("l"), F.col("r"), abs_tol=2.0, rel_tol=0.2).alias("g")
+        ).collect()
+    ]
+    # exact-ish / relative / disagree / missing / both-zero (no div-by-0)
+    assert got == [2, 1, 0, -1, 2]
