@@ -1314,6 +1314,7 @@ _EXTENDED = (
     "rrf_fusion",
     # c2_numeric starts extended (comparator family well-repped in-window)
     "c2_numeric",
+    "transitivity_audit",
 )
 
 
@@ -1928,6 +1929,18 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("gamma_bal"),
         )
 
+    # -- transitivity audit (operators/evaluate.py): where clustering
+    # will override the pairwise scorer at the Match threshold ---------------
+    def transitivity_audit_q(spark, sf_dir):
+        from rlr_spark.operators.evaluate import transitivity_audit
+
+        sc = (
+            _fs_scored_pairs(spark, sf_dir)
+            .select("l_id", "r_id", "fs_score")
+            .localCheckpoint(eager=False)
+        )
+        return transitivity_audit(sc, match_threshold=4.0)
+
     # -- unlinkables analysis (operators/evaluate.py): per-record best
     # FS score distribution incl. the blocking-orphan NULL bucket -------------
     def unlinkables_curve(spark, sf_dir):
@@ -1970,6 +1983,7 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stability": cluster_stability_q,
         "rrf_fusion": rrf_fusion,
         "c2_numeric": c2_numeric,
+        "transitivity_audit": transitivity_audit_q,
     }
 
 
@@ -3661,6 +3675,25 @@ def _oracle_sql_full() -> dict[str, str]:
                         ELSE 0 END AS gamma_bal
             FROM customer JOIN supplier ON c_nationkey = s_nationkey
             WHERE c_custkey <= 300
+        """,
+        # transitivity audit (operators/evaluate.py): matched wedges
+        # whose closing pair scores below threshold or was never paired
+        "transitivity_audit": f"""
+            WITH sc AS ({_FS_SQL}),
+            m AS (SELECT l_id, r_id FROM sc WHERE fs_score >= 4.0),
+            h AS (SELECT l_id AS a, r_id AS v FROM m
+                  UNION ALL SELECT r_id, l_id FROM m),
+            w AS (
+              SELECT x.a AS u, y.a AS w2, count(*)::BIGINT AS nw
+              FROM h x JOIN h y ON x.v = y.v AND x.a < y.a
+              GROUP BY x.a, y.a),
+            nv AS (
+              SELECT u, w2, nw FROM w
+              WHERE NOT EXISTS (
+                SELECT 1 FROM m WHERE m.l_id = w.u AND m.r_id = w.w2))
+            SELECT nv.u AS l_id, nv.w2 AS r_id, nv.nw AS n_witnesses,
+                   round(s.fs_score, 6) AS pair_score
+            FROM nv LEFT JOIN sc s ON s.l_id = nv.u AND s.r_id = nv.w2
         """,
         # unlinkables curve (operators/evaluate.py): per-record best FS
         # score; blocking orphans surface as the NULLS FIRST bucket

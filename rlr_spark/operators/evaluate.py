@@ -414,3 +414,58 @@ def cluster_stability(
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out
+
+
+def transitivity_audit(
+    scored: DataFrame,
+    match_threshold: float,
+    score_col: str = "fs_score",
+    pair_id_cols: tuple[str, str] = ("l_id", "r_id"),
+    round_to: int = 6,
+) -> DataFrame:
+    """List the transitivity violations a threshold induces: record
+    pairs (u, w) that share at least one matched neighbor v (u~v and
+    v~w both at/above ``match_threshold``) while (u, w) itself scores
+    below it — or was never scored at all. Connected components will
+    glue u and w anyway; this is the audit trail of exactly WHERE the
+    clustering overrode the pairwise scorer, ranked by witness count.
+    A spike here at a candidate threshold is the actionable version of
+    a :func:`cluster_stability` merge explosion.
+
+    Output: (l_id, r_id, n_witnesses, pair_score) with pair_score NULL
+    for never-scored pairs (the blocking misses — arguably the worse
+    kind, since no scorer ever saw them).
+
+    Scale shape: matched edges both-orientation explode (2|M| rows),
+    one self-join on the shared witness (Σ deg(v)^2 wedges — the same
+    hub bound as triangle counting, controlled upstream by blocking
+    caps), one groupBy to count witnesses, one left join back to the
+    scored table. No windows, no collects.
+    """
+    l, r = pair_id_cols
+    m = scored.where(F.col(score_col) >= match_threshold).select(l, r)
+    halves = m.select(F.col(l).alias("_a"), F.col(r).alias("_v")).unionByName(
+        m.select(F.col(r).alias("_a"), F.col(l).alias("_v"))
+    )
+    wedges = (
+        halves.select(F.col("_a").alias("_u"), "_v")
+        .join(halves.select(F.col("_a").alias("_w"), "_v"), "_v")
+        .where(F.col("_u") < F.col("_w"))
+        .groupBy("_u", "_w")
+        .agg(F.count(F.lit(1)).alias("n_witnesses"))
+    )
+    # matched (u, w) pairs are not violations — remove them; the rest
+    # keep their sub-threshold score, or NULL if blocking never paired them
+    sc = scored.select(
+        F.col(l).alias("_u"), F.col(r).alias("_w"), F.col(score_col).alias("_s")
+    )
+    return (
+        wedges.join(m.select(F.col(l).alias("_u"), F.col(r).alias("_w")), ["_u", "_w"], "left_anti")
+        .join(sc, ["_u", "_w"], "left")
+        .select(
+            F.col("_u").alias(l),
+            F.col("_w").alias(r),
+            "n_witnesses",
+            F.round(F.col("_s"), round_to).alias("pair_score"),
+        )
+    )

@@ -349,3 +349,22 @@ def test_numeric_levels(spark):
     ]
     # exact-ish / relative / disagree / missing / both-zero (no div-by-0)
     assert got == [2, 1, 0, -1, 2]
+
+
+def test_transitivity_audit(spark):
+    from rlr_spark.operators.evaluate import transitivity_audit
+
+    # 1~2 and 2~3 matched; (1,3) scored below; (2,4) matched and (3,4)
+    # never scored -> blocking-miss violation with NULL score
+    scored = spark.createDataFrame(
+        [(1, 2, 6.0), (2, 3, 5.0), (1, 3, 1.0), (2, 4, 6.0)],
+        ["l_id", "r_id", "fs_score"],
+    )
+    rows = {
+        (r["l_id"], r["r_id"]): (r["n_witnesses"], r["pair_score"])
+        for r in transitivity_audit(scored, match_threshold=4.0).collect()
+    }
+    assert rows[(1, 3)] == (1, 1.0)  # witnessed by 2, scored sub-threshold
+    assert rows[(3, 4)] == (1, None)  # witnessed by 2, never paired
+    assert rows[(1, 4)] == (1, None)
+    assert len(rows) == 3  # matched pairs themselves are not violations
