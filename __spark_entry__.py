@@ -1315,6 +1315,7 @@ _EXTENDED = (
     # c2_numeric starts extended (comparator family well-repped in-window)
     "c2_numeric",
     "transitivity_audit",
+    "blocking_scheme",
 )
 
 
@@ -1941,6 +1942,36 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return transitivity_audit(sc, match_threshold=4.0)
 
+    # -- blocking-scheme learning (operators/schemes.py): greedy
+    # disjunctive cover of exact-dup truth; iterative driver greedy ->
+    # rows-only driver check (no SQL oracle, correctly) -----------------------
+    def blocking_scheme(spark, sf_dir):
+        from rlr_spark.operators.schemes import learn_blocking_scheme
+
+        d = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("rec_id"), "source", "lang", "text"
+        )
+        # truth = near-dup pairs (the threshold_sweep truth definition);
+        # exact dups don't exist at sf0.01, near-dups do
+        truth = (
+            _fs_scored_pairs(spark, sf_dir)
+            .where(F.col("jaccard") >= 0.5)
+            .select("l_id", "r_id")
+        )
+        preds = {
+            "source": F.col("source"),
+            "lang": F.col("lang"),
+            "tok1": F.split(F.trim(F.lower(F.col("text"))), r"\s+")[0],
+        }
+        choices = learn_blocking_scheme(d, truth, preds, max_predicates=3)
+        return spark.createDataFrame(
+            [
+                (c.name, c.new_true_pairs, c.cum_true_pairs, c.cand_pairs)
+                for c in choices
+            ],
+            "predicate string, new_true_pairs long, cum_true_pairs long, cand_pairs long",
+        )
+
     # -- unlinkables analysis (operators/evaluate.py): per-record best
     # FS score distribution incl. the blocking-orphan NULL bucket -------------
     def unlinkables_curve(spark, sf_dir):
@@ -1984,6 +2015,7 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": rrf_fusion,
         "c2_numeric": c2_numeric,
         "transitivity_audit": transitivity_audit_q,
+        "blocking_scheme": blocking_scheme,
     }
 
 
