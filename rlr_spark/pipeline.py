@@ -449,6 +449,26 @@ class Pipeline:
             ),
         }
 
+    def quality_report(self, thresholds: tuple[float, ...] | None = None) -> str:
+        """One-page markdown quality report over the run's materialized
+        score stage (:func:`rlr_spark.report.linkage_quality_report`):
+        score distribution, unlinkables curve against the extracted
+        record universe, and cluster stability across ``thresholds``
+        (default: cfg.lower / midpoint / cfg.upper). Truth-free — the
+        report a reviewer reads when no labels exist yet."""
+        from rlr_spark.report import linkage_quality_report
+
+        cfg = self.config
+        if thresholds is None:
+            thresholds = (cfg.lower, (cfg.lower + cfg.upper) / 2, cfg.upper)
+        scored = self.catalog.read("score")
+        records = self.catalog.read("extract").select(F.col("uid").alias("doc_id"))
+        return linkage_quality_report(
+            scored.select("l_id", "r_id", "fs_score"),
+            records=records,
+            thresholds=thresholds,
+        )
+
 
 def pairwise_f1(
     clusters: DataFrame, truth: DataFrame, id_col: str = "url"

@@ -238,3 +238,20 @@ def test_pipeline_from_warc_segments(spark, tmp_path):
         extracted["text"] != authored["text"]
     )
     assert diff.count() == 0
+
+
+def test_quality_report_from_run(spark, tmp_path):
+    from rlr_spark.catalog import Catalog
+    from rlr_spark.datagen import write_web_pages
+    from rlr_spark.pipeline import Pipeline, PipelineConfig
+
+    pp, _ = write_web_pages(str(tmp_path / "d"), n_pages=120, seed=3)
+    pages = spark.read.parquet(pp)
+    pipe = Pipeline(
+        spark, Catalog(spark, str(tmp_path / "wh")), PipelineConfig(salt_k=2)
+    )
+    pipe.run(pages)
+    md = pipe.quality_report()
+    assert "# Linkage quality report" in md
+    assert "## Unlinkables" in md
+    assert "## Cluster stability" in md
