@@ -42,7 +42,7 @@ def test_no_orphan_oracles():
 
 # iterative / non-SQL-expressible extended entries: rows-only check in
 # tools/check_oracles.py, hard check lives in pytest (test_bpe.py)
-_EXTENDED_NO_ORACLE_OK = {"bpe_merges", "graph_kcore"}
+_EXTENDED_NO_ORACLE_OK = {"bpe_merges", "graph_kcore", "blocking_scheme"}
 
 
 def test_extended_registries_are_consistent():
