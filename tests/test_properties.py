@@ -195,3 +195,62 @@ def test_png_roundtrip_property(h, w, seed, layout, interlace, filt):
         exp = pal[img]
         got = decode_png(encode_png(img, palette=pal, depth=depth, **kw))
     assert np.array_equal(got, exp), layout
+
+
+# ---------------------------------------------------------------------------
+# round-6 comparators: metric/bound properties (pure Python, no Spark)
+# ---------------------------------------------------------------------------
+
+_word = st.text(alphabet="abcdefg", min_size=0, max_size=12)
+
+
+@given(a=_word, b=_word, c=_word)
+@settings(max_examples=200, deadline=None)
+def test_damerau_is_a_metric(a, b, c):
+    from rlr_spark.functions.similarity import damerau_levenshtein_py as dl
+
+    # identity, symmetry, triangle inequality (true DL is a metric;
+    # the OSA variant famously is NOT — this property would catch a
+    # silent downgrade to OSA via ab<->ba, ca<->ac style triples)
+    assert dl(a, b) == 0 if a == b else dl(a, b) > 0
+    assert dl(a, b) == dl(b, a)
+    assert dl(a, c) <= dl(a, b) + dl(b, c)
+
+
+@given(a=_word, b=_word)
+@settings(max_examples=100, deadline=None)
+def test_jaro_winkler_bounds_and_symmetry(a, b):
+    from rlr_spark.functions.similarity import jaro_winkler_py as jw
+
+    s = jw(a, b)
+    assert 0.0 <= s <= 1.0
+    assert s == jw(b, a)
+    if a == b and a:
+        assert s == 1.0
+
+
+@given(
+    l=st.lists(st.integers(0, 63), min_size=0, max_size=30),
+    r=st.lists(st.integers(0, 63), min_size=0, max_size=30),
+)
+@settings(
+    max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+def test_dice_bounds_and_symmetry(spark, l, r):
+    from pyspark.sql import functions as F
+
+    from rlr_spark.functions.ppl import dice
+
+    ls, rs = sorted(set(l)), sorted(set(r))
+    row = (
+        spark.createDataFrame([(ls, rs)], "l array<int>, r array<int>")
+        .select(
+            dice(F.col("l"), F.col("r")).alias("d"),
+            dice(F.col("r"), F.col("l")).alias("dr"),
+        )
+        .collect()[0]
+    )
+    assert 0.0 <= row["d"] <= 1.0
+    assert row["d"] == row["dr"]
+    if ls and ls == rs:
+        assert row["d"] == 1.0
