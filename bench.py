@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "emb_topk_cosine",
     "j1_pair_record_join",
     "meta_blocking",
+    # round-6 session-3 additions (extra keys — downstream diffs tolerate
+    # additions; never remove/rename existing keys mid-round)
+    "soft_tfidf",
+    "graph_adamic_adar",
+    "clk_dice",
 ]
 
 
