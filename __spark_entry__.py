@@ -1422,7 +1422,14 @@ def _secondary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         sc = _fs_scored_pairs(spark, sf_dir)
         truth = sc.where(F.col("jaccard") >= 0.5).select("l_id", "r_id")
-        return sweep(sc, truth)
+        out = sweep(sc, truth)
+        # The oracle's window sum() yields DuckDB HUGEINT, which a
+        # pandas-style fetch widens to float64 ("6000.0"); emit DOUBLE
+        # here so both sides stringify identically under a
+        # type-sensitive comparator. Values are integral either way.
+        return out.withColumn(
+            "predicted_pos", F.col("predicted_pos").cast("double")
+        ).withColumn("true_pos", F.col("true_pos").cast("double"))
 
     # -- blocking scorecard: pairs-completeness + reduction ratio for a
     # simulated blocking pass (every third left id) vs the same truth -------
