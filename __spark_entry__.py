@@ -29,6 +29,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _rebal(df: DataFrame) -> DataFrame:
+    """Rebalance an under-partitioned scan before CPU-heavy work.
+
+    The testdata parquet files are single-row-group, so a scan yields
+    ONE non-empty split no matter how many byte-splits are planned —
+    a query doing heavy per-row/per-pair compute directly on the scan
+    serializes on one core (measured: the c3 pair stage ran 3.5 s on 2
+    tasks at 32 cores). The repartition shuffles only the tiny input;
+    at scale inputs arrive in many splits and this is a no-op (the
+    partition-count probe is metadata-only on a file scan)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(par // 3, 4):
+        return df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship — near-dup blocking + similarity + FS labels + clustering
 # over the documents corpus (the full ER pipeline shape on driver testdata)
@@ -93,7 +109,7 @@ def _fs_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle), but ~20x cheaper at sf0.1's 622k same-source pairs
     from rlr_spark.functions.similarity import norm_tokens
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _rebal(_t(spark, sf_dir, "documents")).select(
         "doc_id",
         "source",
         "lang",
@@ -443,7 +459,7 @@ def _primary_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (char-3-gram Jaccard retired from the registry: prefix-join and
     # minhash both value-check token-set similarity — registry budget) --------
     def text_stats(spark, sf_dir):
-        d = _t(spark, sf_dir, "documents")
+        d = _rebal(_t(spark, sf_dir, "documents"))
         return d.select(
             "doc_id",
             token_count(F.col("text")).alias("n_tok"),

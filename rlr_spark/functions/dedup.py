@@ -61,7 +61,7 @@ def minhash_dup_pairs(
     bands: int = 32,
     rows_per_band: int = 2,
     jaccard_threshold: float = 0.8,
-    salt_k: int = 4,
+    salt_k: int = 16,
     max_block_size: int | None = 10_000,
     length_filter: bool = True,
     collapse_duplicate_blocks: bool = False,
@@ -80,8 +80,16 @@ def minhash_dup_pairs(
     token-jac≥0.8 pairs had only 35 3-shingle near-dups) — if you raise
     ``shingle_k``, lower ``jaccard_threshold``'s meaning accordingly or
     verify with a sequence-aware metric downstream."""
+    # emit_prefixes + emit_once_col: a pair colliding in many of the
+    # ``bands`` bands (the norm for true near-dups — expected shared
+    # bands ~ b*j^r) is generated from its FIRST colliding band only,
+    # which removes the O(bands)-fold duplicate pair emission and the
+    # pair-dedup shuffle entirely (pair_dedup=False: one salt per pair
+    # + first-band-only => unique by construction). Measured at sf0.1:
+    # the join's shuffle went 108M rows/849MB -> ~12M rows, wall -39%.
     keys = lsh_band_keys(
-        df, id_col, text_col, shingle_k=shingle_k, bands=bands, rows_per_band=rows_per_band
+        df, id_col, text_col, shingle_k=shingle_k, bands=bands,
+        rows_per_band=rows_per_band, emit_prefixes=True,
     )
     # Length filter INSIDE the join stage (the carry_cols/pair_filter
     # machinery): jaccard >= t forces |smaller| >= t * |larger| over the
@@ -114,6 +122,8 @@ def minhash_dup_pairs(
         carry_cols=carry,
         pair_filter=pfilter,
         collapse_duplicate_blocks=collapse_duplicate_blocks,
+        emit_once_col=None if collapse_duplicate_blocks else "_pfx",
+        pair_dedup=collapse_duplicate_blocks,
     )
     return _verify_token_jaccard(
         pairs, df, id_col, text_col, jaccard_threshold, barrier=verify_barrier
@@ -258,7 +268,16 @@ def simhash_dup_pairs(
     ``n_tables`` 16-bit keys (a pair within Hamming distance
     ``n_tables - 1`` collides in ≥1 table by pigeonhole), then verify
     true Hamming distance ≤ max_hamming. Returns (l_id, r_id, hamming)."""
-    sh = df.select(F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash"))
+    # rebalance a narrow scan (simhash is the expensive step and a
+    # single-row-group input would run it on one core), then
+    # materialize: ``sh`` feeds the banding AND both verify sides —
+    # without the barrier the pandas UDF runs three times.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(par // 3, 4):
+        df = df.repartition(par)
+    sh = df.select(
+        F.col(id_col), simhash64_udf(F.col(text_col)).alias("simhash")
+    ).localCheckpoint(eager=False)
     width = 64 // n_tables
     keyed = sh.select(
         id_col,
@@ -299,7 +318,7 @@ def jaccard_prefix_join(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    salt_k: int = 4,
+    salt_k: int = 16,
     max_block_size: int | None = None,
 ) -> DataFrame:
     """EXACT token-Jaccard self-join: all pairs with jaccard >= threshold.

@@ -87,7 +87,9 @@ def minhash_signature(shingles: Column, num_perm: int) -> list[Column]:
     return [_perm_min(shingles, j) for j in range(num_perm)]
 
 
-def _arrow_minhash_kernel(shingle_k: int, bands: int, rows_per_band: int):
+def _arrow_minhash_kernel(
+    shingle_k: int, bands: int, rows_per_band: int, emit_prefixes: bool = False
+):
     """Build the mapInArrow generator computing per-row LSH band keys.
 
     Input batches: (id, _th: array<long>) — token xxhash64 values, hashed
@@ -194,10 +196,26 @@ def _arrow_minhash_kernel(shingle_k: int, bands: int, rows_per_band: int):
                 K[:, b] = h.view(np.int64)
 
             idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
-            return pa.RecordBatch.from_arrays(
-                [ids.take(idx), pa.array(K.reshape(-1))],
-                names=[batch.schema.names[0], "blk_key"],
-            )
+            cols = [ids.take(idx), pa.array(K.reshape(-1))]
+            names = [batch.schema.names[0], "blk_key"]
+            if emit_prefixes:
+                # band-b row carries that doc's band keys [0, b) — the
+                # "was there an earlier colliding band" witness for
+                # first-collision unique pair emission (block_pairs
+                # lsh_prefix_col). Values laid out (i0 b0..b{B-1},
+                # i1 ...) to match the key rows above; row (i, b)'s
+                # slice is K[i, :b] via a lower-triangular mask.
+                tri = np.tril(np.ones((bands, bands), dtype=bool), k=-1)
+                vals = np.broadcast_to(K[:, None, :], (n, bands, bands))[
+                    :, tri
+                ].reshape(-1)
+                lens = np.tile(np.arange(bands, dtype=np.int64), n)
+                offs32 = np.zeros(n * bands + 1, dtype=np.int32)
+                np.cumsum(lens, out=offs32[1:])
+                pfx = pa.ListArray.from_arrays(pa.array(offs32), pa.array(vals))
+                cols.append(pfx)
+                names.append("_pfx")
+            return pa.RecordBatch.from_arrays(cols, names=names)
 
     return gen
 
@@ -211,8 +229,20 @@ def lsh_band_keys(
     rows_per_band: int = 3,
     rebalance_input: bool | None = None,
     signature_impl: str = "arrow",
+    emit_prefixes: bool = False,
 ) -> DataFrame:
     """(id, blk_key) with blk_key = xxhash64(band_id, band row sigs) — LONG.
+
+    ``emit_prefixes=True`` adds ``_pfx`` — the doc's band keys for bands
+    BEFORE this row's band — enabling first-collision unique pair
+    emission in :func:`block_pairs` (``lsh_prefix_col``): a pair is
+    emitted only from the first band where it collides, which removes
+    the O(bands)-fold duplicate pair generation (and with it the pair
+    dedup shuffle) that multi-band LSH otherwise pays on near-dup-heavy
+    corpora. Cost: the keyed relation carries ~bands/2 extra longs per
+    row (quadratic in ``bands`` per doc), the right trade whenever
+    duplicate candidate emissions dominate — i.e. whenever near-dup
+    density is what motivated LSH dedup in the first place.
 
     ``signature_impl``: "arrow" (default) computes window identities,
     permutation minima and band keys in a vectorized numpy kernel over
@@ -292,13 +322,17 @@ def lsh_band_keys(
             F.col(id_col),
             F.transform(toks, lambda t: F.xxhash64(t)).alias("_th"),
         )
-        from pyspark.sql.types import LongType, StructField, StructType
+        from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
-        out = StructType(
-            [shipped.schema[id_col], StructField("blk_key", LongType(), True)]
-        )
+        fields = [shipped.schema[id_col], StructField("blk_key", LongType(), True)]
+        if emit_prefixes:
+            fields.append(StructField("_pfx", ArrayType(LongType(), True), True))
+        out = StructType(fields)
         return shipped.mapInArrow(
-            _arrow_minhash_kernel(shingle_k, bands, rows_per_band), out
+            _arrow_minhash_kernel(
+                shingle_k, bands, rows_per_band, emit_prefixes=emit_prefixes
+            ),
+            out,
         )
     shingled = df.select(
         F.col(id_col),
@@ -333,6 +367,30 @@ def lsh_band_keys(
     # doc emits exactly one key per band by construction — the old
     # dropDuplicates was a full shuffle protecting against nothing but
     # 64-bit band-key collisions (which only ever ADD candidates)
+    if emit_prefixes:
+        stacked = sigged.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            band_cols[b].alias("blk_key"),
+                            (
+                                F.array(*band_cols[:b])
+                                if b
+                                else F.array().cast("array<bigint>")
+                            ).alias("_pfx"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("_e"),
+        )
+        return stacked.select(
+            F.col(id_col),
+            F.col("_e.blk_key").alias("blk_key"),
+            F.col("_e._pfx").alias("_pfx"),
+        )
     return sigged.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("blk_key")
     )
@@ -364,10 +422,33 @@ def block_pairs(
     pair_filter: Column | None = None,
     collapse_duplicate_blocks: bool = False,
     collapse_min_size: int = 32,
+    emit_once_col: str | None = None,
+    pair_dedup: bool = True,
 ) -> tuple[DataFrame, BlockStats]:
     """Canonical candidate pairs (l_id < r_id) within each blocking key.
 
     ``keyed``: (id_col, key_col[, ...]). Returns (pairs(l_id, r_id), stats).
+
+    ``emit_once_col`` names an array<long> column of *earlier-key
+    witnesses* (e.g. lsh_band_keys ``emit_prefixes``): a joined pair is
+    suppressed when the two sides' witness arrays overlap — i.e. the
+    pair already collided under an earlier key and was emitted there.
+    Keys carry their band id inside the hash, so a cross-position
+    equality is a ~2^-64 accident per element pair (same budget the
+    module already assigns to band-key collisions; here it could DROP
+    one pair with probability ~bands^2/2^65 — negligible against the
+    LSH recall bound itself). With suppression on, a single-pass caller
+    may set ``pair_dedup=False``: each pair is emitted exactly once by
+    construction (one salt per pair; first colliding key only), so the
+    pair-dedup shuffle — O(bands) times the distinct pair count on
+    near-dup-heavy corpora — disappears entirely.
+
+    Dropped-block interaction: when ``max_block_size`` drops a hot key,
+    a later kept key must still emit the pair, so the dropped keys are
+    removed from every witness array first (they are collected for the
+    stats job anyway); if an absurd number of blocks were dropped the
+    repair would not fit a literal array, so suppression falls back to
+    the plain emit-everywhere + dedup path — same pair set either way.
 
     Salting is *adaptive*: replicating the probe side ``salt_k``-fold is
     pure shuffle overhead for the long tail of tiny blocks, so only
@@ -383,7 +464,15 @@ def block_pairs(
     length/positional filters (e.g. PPJoin's ``|x| >= t*|y|``) without
     materializing the pruned pairs at all.
     """
-    keyed = keyed.select(id_col, key_col, *carry_cols).where(
+    suppress = emit_once_col is not None
+    if suppress and collapse_duplicate_blocks:
+        raise ValueError(
+            "emit_once_col and collapse_duplicate_blocks are mutually "
+            "exclusive: collapsing removes the block a pair's first "
+            "collision may live in"
+        )
+    wit_cols = (emit_once_col,) if suppress else ()
+    keyed = keyed.select(id_col, key_col, *carry_cols, *wit_cols).where(
         F.col(key_col).isNotNull()
     )
     # the keyed relation is consumed by three jobs (sizes agg, stats
@@ -437,6 +526,22 @@ def block_pairs(
     else:
         kept_keys = sizes.where(F.col("_blk_n") >= 2)
         stats = BlockStats(pass_name, -1, 0, 0)
+    if suppress and stats.n_dropped_blocks > 0:
+        dropped = [
+            r[0]
+            for r in sizes.where(F.col("_blk_n") > max_block_size)
+            .select(key_col)
+            .collect()
+        ]
+        if len(dropped) <= 4096:
+            keyed = keyed.withColumn(
+                emit_once_col,
+                F.array_except(
+                    F.col(emit_once_col), F.array(*[F.lit(k) for k in dropped])
+                ),
+            )
+        else:  # repair too big for a literal — fall back to emit + dedup
+            suppress, pair_dedup, wit_cols = False, True, ()
     # COLLAPSE DUPLICATE BLOCKS: keys holding the identical member set
     # generate the identical pair set, so only one representative needs
     # to join. This is THE guard against template clusters under
@@ -468,11 +573,24 @@ def block_pairs(
             F.col("_blk_n") < collapse_min_size
         ).unionByName(collapsed_big)
 
+    # salt count PROPORTIONAL to block size (was: fixed salt_k for every
+    # block over the threshold): a block of T rows does ~T*T/k probe
+    # emissions per salt, so a fixed k leaves per-reducer work quadratic
+    # in the hottest block — measured as a 2.8x p90/median task-time
+    # skew on the minhash pair join, exactly the output-explosion skew
+    # AQE cannot see (its skew stats are shuffle INPUT bytes, guide
+    # §2.5). ceil(T / salt_threshold) bounds per-salt probe work at
+    # ~salt_threshold * T emissions; salt_k remains the replication
+    # cap (the probe side is duplicated _k times). Logical pair set is
+    # invariant in _k (tested).
     keyed = keyed.join(
         kept_keys.select(key_col, "_blk_n"), key_col, "inner"
     ).withColumn(
         "_k",
-        F.when(F.col("_blk_n") > salt_threshold, F.lit(salt_k)).otherwise(F.lit(1)),
+        F.least(
+            F.ceil(F.col("_blk_n") / F.lit(salt_threshold)),
+            F.lit(max(salt_k, 1)),
+        ).cast("int"),
     )
 
     # build side: one deterministic salt per row; probe side: replicated
@@ -481,7 +599,7 @@ def block_pairs(
         F.col(key_col),
         F.col(id_col).alias("l_id"),
         F.pmod(F.xxhash64(F.col(id_col)), F.col("_k").cast("long")).alias("_salt"),
-        *[F.col(c).alias("l_" + c) for c in carry_cols],
+        *[F.col(c).alias("l_" + c) for c in (*carry_cols, *wit_cols)],
     )
     right = keyed.select(
         F.col(key_col),
@@ -489,7 +607,7 @@ def block_pairs(
         F.explode(
             F.sequence(F.lit(0).cast("long"), (F.col("_k") - 1).cast("long"))
         ).alias("_salt"),
-        *[F.col(c).alias("r_" + c) for c in carry_cols],
+        *[F.col(c).alias("r_" + c) for c in (*carry_cols, *wit_cols)],
     )
     # SHUFFLE_HASH over sort-merge: the per-(key, salt) build side is
     # bounded (max_block_size caps members; salting splits hot keys), so
@@ -502,12 +620,26 @@ def block_pairs(
     )
     if pair_filter is not None:
         pairs = pairs.where(pair_filter)
-    pairs = (
-        pairs.select("l_id", "r_id")
-        # a pair sharing several keys (e.g. colliding in many LSH bands)
-        # would otherwise appear once per key — canonicalize here
-        .dropDuplicates(["l_id", "r_id"])
-    )
+    if suppress:
+        # first-collision-only emission: drop the joined row when the
+        # two witness arrays share an earlier key (codegen'd
+        # arrays_overlap — NOT a higher-order function, which would run
+        # interpreted on every joined row). NULL witness (e.g. the
+        # domain pass of a multi-pass union) means "no earlier keys".
+        pairs = pairs.where(
+            ~F.coalesce(
+                F.arrays_overlap(
+                    F.col("l_" + emit_once_col), F.col("r_" + emit_once_col)
+                ),
+                F.lit(False),
+            )
+        )
+    pairs = pairs.select("l_id", "r_id")
+    if pair_dedup:
+        # a pair sharing several keys (e.g. colliding in many LSH bands
+        # without emit_once_col, or across passes of a multi-pass
+        # union) would otherwise appear once per key — canonicalize
+        pairs = pairs.dropDuplicates(["l_id", "r_id"])
     return pairs, stats
 
 

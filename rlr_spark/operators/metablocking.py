@@ -69,7 +69,7 @@ def shingle_blocks(
     posts = df.select(
         F.col(id_col).alias("id"),
         F.explode(hashed_shingle_col(F.col(text_col), k=k)).alias("block_key"),
-    )
+    ).localCheckpoint(eager=False)  # consumed twice: sizes agg + join
     sizes = posts.groupBy("block_key").agg(F.count("*").alias("block_size"))
     return posts.join(
         sizes.where(
@@ -211,12 +211,28 @@ def meta_blocking_pairs(
     """Full pipeline: shingle blocks -> purge -> weighted graph -> prune.
 
     Returns the retained candidate pairs ``(l_id, r_id, weight)``.
+
+    Plan shape: ``blocks`` is consumed by three subtrees of
+    :func:`blocking_graph` (both sides of the co-occurrence join +
+    per-node block counts) and ``edges`` by three subtrees of
+    :func:`prune_wnp` (two arms of the node union + the edge join) —
+    without a materialization barrier Catalyst re-computes the whole
+    shingle/co-occurrence pipeline once per consumer (measured: 40
+    parquet scans / 68 exchanges in one plan, wall 2-3x). Lazy
+    localCheckpoints materialize each relation exactly once; the input
+    is rebalanced first because a compact parquet input lands in fewer
+    splits than cores while shingling is CPU-heavy per byte.
     """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(par // 3, 4):
+        df = df.repartition(par)
     blocks = shingle_blocks(
         df, id_col=id_col, text_col=text_col, k=k,
         min_block=min_block, purge_cap=purge_cap,
-    )
+    ).localCheckpoint(eager=False)
     edges = blocking_graph(blocks, scheme=scheme)
+    if prune in ("wep", "wnp"):
+        edges = edges.localCheckpoint(eager=False)
     if prune == "wep":
         return prune_wep(edges)
     if prune == "wnp":

@@ -58,7 +58,31 @@ def get_spark(
         .config("spark.default.parallelism", str(max(cores * 3, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions from the shuffle's INPUT
+        # bytes, but candidate-pair self-joins have quadratic OUTPUT:
+        # a few MB of (key, salt) rows explode into tens of millions of
+        # pairs, and the default 1 MB minPartitionSize coalesced those
+        # join stages to 1-6 tasks (measured: 62 s of join CPU on 6
+        # tasks at 32 cores for the minhash pair join). A 64 KB floor
+        # keeps parallelismFirst's target (defaultParallelism) in
+        # charge. Scale note: this floor only binds when a shuffle's
+        # input is small; at production scale those exchanges carry
+        # GB+ and AQE sizing is unchanged — the explode-join shape this
+        # protects (small block-key input, quadratic pair output) is
+        # scale-independent.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Sort-based shuffle writer for everything but the tiniest
+        # shuffles: the bypass writer opens ONE FILE PER REDUCE
+        # PARTITION per map task, so a 192-task map stage feeding 96
+        # reduce partitions creates ~18k shuffle files — measured as
+        # ~0.25 s/task of non-CPU time that dominated every small-input
+        # stage of the pairs job (pairs stage 8.5 s -> 4.7 s from this
+        # alone). The sort writer emits one file + index per map task.
+        # At scale the default (200) is moot anyway: shuffle partition
+        # counts exceed it and the sort path is already taken; this just
+        # stops the small-shuffle regime from paying the file fan-out.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

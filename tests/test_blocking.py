@@ -357,3 +357,56 @@ def test_block_pairs_lr_per_side_carry_cols(spark):
     )
     got = {(r.l_id, r.r_id) for r in pairs.collect()}
     assert got == {("a1", "b1")}
+
+
+def test_emit_once_pair_set_matches_dedup_path(spark):
+    """First-collision unique emission (emit_once_col + pair_dedup=False)
+    returns exactly the pair set of the emit-everywhere + dropDuplicates
+    path, with zero duplicate rows."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + ("epsilon" if i % 7 else "zeta"))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    keys = lsh_band_keys(
+        docs, "doc_id", "text", shingle_k=1, bands=8, rows_per_band=2,
+        emit_prefixes=True,
+    )
+    once, _ = block_pairs(
+        keys, "doc_id", salt_k=4, max_block_size=None,
+        emit_once_col="_pfx", pair_dedup=False,
+    )
+    rows = [(r.l_id, r.r_id) for r in once.collect()]
+    dedup, _ = block_pairs(
+        keys.drop("_pfx"), "doc_id", salt_k=4, max_block_size=None,
+    )
+    want = {(r.l_id, r.r_id) for r in dedup.collect()}
+    assert len(rows) == len(set(rows)), "emit-once produced duplicate pairs"
+    assert set(rows) == want
+
+
+def test_emit_once_repairs_dropped_blocks(spark):
+    """A pair whose first colliding band was DROPPED by max_block_size
+    must still be emitted from a later kept band (witness repair)."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(40)]
+        + [(100, "unique one two three four"), (101, "unique one two three four")],
+        "doc_id long, text string",
+    )
+    keys = lsh_band_keys(
+        docs, "doc_id", "text", shingle_k=1, bands=8, rows_per_band=2,
+        emit_prefixes=True,
+    )
+    # cap drops the 40-doc template blocks in every band; the pair
+    # (100, 101) lives in 2-doc blocks and must survive
+    once, stats = block_pairs(
+        keys, "doc_id", salt_k=4, max_block_size=10,
+        emit_once_col="_pfx", pair_dedup=False,
+    )
+    rows = [(r.l_id, r.r_id) for r in once.collect()]
+    ref, _ = block_pairs(keys.drop("_pfx"), "doc_id", salt_k=4, max_block_size=10)
+    want = {(r.l_id, r.r_id) for r in ref.collect()}
+    assert stats.n_dropped_blocks > 0
+    assert len(rows) == len(set(rows))
+    assert set(rows) == want
+    assert (100, 101) in want

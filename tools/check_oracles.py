@@ -5,6 +5,17 @@ oracle_sql() through DuckDB over the same parquet, and compares
 row count, column names/types, and an order-insensitive value hash
 (columns sorted by name, rows sorted, values stringified).
 
+Comparison is TYPE-SENSITIVE and pandas-fetched on BOTH sides, like
+the driver: DuckDB results come through ``fetchdf()`` (HUGEINT widens
+to float64, NULL timestamps to NaT) and values stringify with
+``str()`` — so an integer column on one side vs a float column on the
+other ("6000" vs "6000.0") fails here exactly as it fails the driver.
+The round-6 checker fetched DuckDB rows with ``fetchall()`` (HUGEINT
+-> Python int) and normalized floats with ``%.6f``, which masked the
+type divergence behind the round's only red row. A row that fails
+type-sensitively but would pass the old loose compare is reported as
+``TYPE-ONLY`` to separate representation bugs from value bugs.
+
 Usage: python tools/check_oracles.py [sf_dir] [query ...]
 """
 
@@ -24,29 +35,50 @@ TABLES = [
 ]
 
 
-def value_hash(rows: list[tuple], cols: list[str]) -> str:
+def _canon(rows: list[tuple], cols: list[str], norm) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
-    )
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def value_hash(rows: list[tuple], cols: list[str], norm=None) -> str:
     h = hashlib.md5()
-    for row in canon:
+    for row in _canon(rows, cols, norm or _norm):
         h.update(("\x1f".join(row) + "\x1e").encode("utf-8"))
     return h.hexdigest()
 
 
-def _norm(v) -> str:
+def _null(v) -> bool:
     try:
-        if v is None or v != v:  # None, float NaN, pandas NaT (toPandas
-            # maps a NULL timestamp to NaT, which would stringify as
-            # 'NaT' and spuriously mismatch DuckDB's None)
-            return "<NULL>"
-    except (TypeError, ValueError):  # non-scalar v; fall through to str
-        pass
-    if isinstance(v, float):
-        return f"{v:.6f}"
+        return v is None or v != v  # None, float NaN, pandas NaT
+    except (TypeError, ValueError):  # non-scalar v
+        return False
+
+
+def _norm(v) -> str:
+    """Type-sensitive stringification (the driver's behavior): int 6000
+    and float 6000.0 are DIFFERENT."""
+    if _null(v):
+        return "<NULL>"
+    return str(v)
+
+
+def _norm_loose(v) -> str:
+    """Round-6 loose normalization (%.6f floats, ints as ints) — used
+    only to label a mismatch as TYPE-ONLY vs a real value divergence."""
+    if _null(v):
+        return "<NULL>"
     if isinstance(v, bool):
         return str(int(v))
+    try:
+        import numpy as np
+
+        if isinstance(v, (float, np.floating, int, np.integer)) and not isinstance(
+            v, bool
+        ):
+            return f"{float(v):.6f}"
+    except ImportError:
+        if isinstance(v, (float, int)):
+            return f"{float(v):.6f}"
     return str(v)
 
 
@@ -86,9 +118,10 @@ def main() -> int:
             print(f"weak  {name}: rows={len(s_rows)} (no oracle, rows-only)")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            # pandas fetch, like the driver: HUGEINT -> float64, etc.
+            d_pdf = con.execute(oracles[name]).fetchdf()
+            d_cols = list(d_pdf.columns)
+            d_rows = list(d_pdf.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
@@ -102,12 +135,17 @@ def main() -> int:
             hs = value_hash(s_rows, list(s_cols))
             hd = value_hash(d_rows, list(d_cols))
             if hs != hd:
-                problems.append("value-hash mismatch")
-                # show a diff sample
-                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-                cs = sorted(tuple(_norm(r[i]) for i in order_s) for r in s_rows)
-                cd = sorted(tuple(_norm(r[i]) for i in order_d) for r in d_rows)
+                loose_match = value_hash(
+                    s_rows, list(s_cols), _norm_loose
+                ) == value_hash(d_rows, list(d_cols), _norm_loose)
+                problems.append(
+                    "TYPE-ONLY mismatch (values agree loosely; "
+                    "representation/type differs — the driver fails this)"
+                    if loose_match
+                    else "value-hash mismatch"
+                )
+                cs = _canon(s_rows, list(s_cols), _norm)
+                cd = _canon(d_rows, list(d_cols), _norm)
                 for a, b in zip(cs, cd):
                     if a != b:
                         problems.append(f"  first diff:\n   spark : {a}\n   duckdb: {b}")
