@@ -131,6 +131,34 @@ class Catalog:
             for i, f in enumerate(files)
         ]
 
+    def write_rows_local(self, name: str, rows: list[tuple]) -> bool:
+        """Driver-side parquet write of a tiny (_pid, rows, stage)
+        lineage table — the metrics tables are <= a few hundred rows
+        and a full Spark job (submit + commit protocol) per stage was
+        ~0.3 s of pure overhead 4x per pipeline run. Parquet mode only;
+        returns False in Iceberg mode (caller falls back to the Spark
+        writer, which Iceberg's commit protocol requires)."""
+        if self.iceberg_catalog:
+            return False
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return False
+        p = self.path(name)
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p, exist_ok=True)
+        tbl = pa.table(
+            {
+                "_pid": pa.array([r[0] for r in rows], pa.int32()),
+                "rows": pa.array([r[1] for r in rows], pa.int64()),
+                "stage": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(p, "part-00000.parquet"))
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+        return True
+
     def drop(self, name: str) -> None:
         if self.iceberg_catalog:
             self.spark.sql(f"DROP TABLE IF EXISTS {self._ident(name)}")

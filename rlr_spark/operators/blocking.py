@@ -659,8 +659,19 @@ def block_pairs_lr(
     carry_cols_r: tuple[str, ...] | None = None,
     pair_filter: Column | None = None,
     collapse_duplicate_blocks: bool = False,
+    prune_right_by_left: bool = False,
 ) -> tuple[DataFrame, BlockStats]:
     """TWO-DATASET candidate pairs within blocking keys: L x R per key.
+
+    ``prune_right_by_left=True`` semi-joins the right relation down to
+    the left side's distinct keys before any aggregation — semantically
+    free (the per-key sizes join is inner, so only shared keys ever
+    produce pairs) and a large cut when the left side is much smaller
+    than the right: the streaming incremental probe joins one new batch
+    against ALL accumulated keys, and without the prune the right-side
+    size aggregation and salted join shuffle the whole accumulated
+    table every micro-batch (per-batch cost growing with state volume
+    instead of with the batch).
 
     The linkage (not dedup) form of :func:`block_pairs` — the
     reference's primary workload is matching two different datasets
@@ -705,23 +716,45 @@ def block_pairs_lr(
     ).localCheckpoint(eager=False)
     right = keyed_r.select(F.col(id_col_r), F.col(key_col), *ccr).where(
         F.col(key_col).isNotNull()
-    ).localCheckpoint(eager=False)
+    )
+    if prune_right_by_left:
+        # keys absent from the left can never produce a pair (the sizes
+        # join below is inner) — drop their right rows before anything
+        # aggregates or shuffles them. AQE broadcasts the (batch-sized)
+        # distinct-key relation when it fits.
+        right = right.join(left.select(key_col).distinct(), key_col, "left_semi")
+    right = right.localCheckpoint(eager=False)
 
     def _side_sizes(side: DataFrame, id_c: str, p: str) -> DataFrame:
         # member-set fingerprint lanes per side — see block_pairs: two
-        # xor lanes + a duplication-sensitive 32-bit sum lane
+        # xor lanes + a duplication-sensitive 32-bit sum lane. Gated on
+        # collapse_duplicate_blocks exactly like block_pairs: they cost
+        # 3 xxhash64 per keyed row + ~60% of the sizes-shuffle bytes and
+        # the collapse is off by default — the streaming incremental
+        # pair join paid them every micro-batch for nothing.
+        fp = (
+            [
+                F.bit_xor(F.xxhash64(F.col(id_c))).alias(f"_{p}f1"),
+                F.bit_xor(F.xxhash64(F.col(id_c), F.lit(1))).alias(f"_{p}f2"),
+                F.sum(
+                    F.xxhash64(F.col(id_c), F.lit(2)).bitwiseAND(F.lit(0xFFFFFFFF))
+                ).alias(f"_{p}f3"),
+            ]
+            if collapse_duplicate_blocks
+            else []
+        )
         return side.groupBy(key_col).agg(
-            F.count("*").alias(f"_{p}n"),
-            F.bit_xor(F.xxhash64(F.col(id_c))).alias(f"_{p}f1"),
-            F.bit_xor(F.xxhash64(F.col(id_c), F.lit(1))).alias(f"_{p}f2"),
-            F.sum(
-                F.xxhash64(F.col(id_c), F.lit(2)).bitwiseAND(F.lit(0xFFFFFFFF))
-            ).alias(f"_{p}f3"),
+            F.count("*").alias(f"_{p}n"), *fp
         )
 
     l_sizes = _side_sizes(left, id_col_l, "l")
     r_sizes = _side_sizes(right, id_col_r, "r")
-    sizes = l_sizes.join(r_sizes, key_col, "inner")  # keys present on both sides
+    # keys present on both sides; checkpointed because BOTH the stats
+    # aggregation and the kept-keys consumer below otherwise re-run the
+    # full two-sided size aggregation (block_pairs checkpoints its
+    # sizes for the same reason — this path had been paying the double
+    # computation every streaming micro-batch)
+    sizes = l_sizes.join(r_sizes, key_col, "inner").localCheckpoint(eager=False)
     if max_block_size is not None:
         agg = sizes.agg(
             F.count("*").alias("nb"),
@@ -758,10 +791,13 @@ def block_pairs_lr(
     # kept-keys relation once instead of re-running the size groupBys
     kept = kept.localCheckpoint(eager=False)
     kept = kept.withColumn(
+        # salt count proportional to the bigger side (salt_k caps the
+        # replication) — same per-salt work bound as block_pairs
         "_k",
-        F.when(
-            F.greatest(F.col("_ln"), F.col("_rn")) > salt_threshold, F.lit(salt_k)
-        ).otherwise(F.lit(1)),
+        F.least(
+            F.ceil(F.greatest(F.col("_ln"), F.col("_rn")) / F.lit(salt_threshold)),
+            F.lit(max(salt_k, 1)),
+        ).cast("int"),
     ).withColumn(
         # hash-salt the LARGER side: salting partitions the salted side's
         # rows across reducers, so salting the small side of a lopsided

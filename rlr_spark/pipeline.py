@@ -176,13 +176,17 @@ class Pipeline:
         # JVMs). One row per output file -> one slice is right at any
         # scale.
         mrows = metrics_pdf or [(0, 0, stage)]
-        self.catalog.write(
-            self.spark.createDataFrame(
-                self.spark.sparkContext.parallelize(mrows, 1),
-                "_pid int, rows bigint, stage string",
-            ),
-            f"{stage}_metrics",
-        )
+        # parquet mode: driver-side pyarrow write (the table is tiny and
+        # a Spark job per stage was pure commit-protocol overhead);
+        # Iceberg mode falls back to the Spark writer
+        if not self.catalog.write_rows_local(f"{stage}_metrics", mrows):
+            self.catalog.write(
+                self.spark.createDataFrame(
+                    self.spark.sparkContext.parallelize(mrows, 1),
+                    "_pid int, rows bigint, stage string",
+                ),
+                f"{stage}_metrics",
+            )
         rows = sum(r for _, r in part_rows)
         manifest = {
             "stage": stage,

@@ -68,10 +68,26 @@ _COMPACTED_PARTITION = -1
 class EntityState:
     """Incremental cluster-assignment state under ``work_dir``."""
 
-    def __init__(self, spark: SparkSession, work_dir: str, buckets: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        buckets: int = 64,
+        auto_compact_rounds: int | None = 2,
+    ):
         self.spark = spark
         self.work_dir = work_dir
         self.buckets = buckets
+        # alias maintenance on the MEASURED signal (the _resolve_roots
+        # docstring has always said deployments should trigger on
+        # last_resolve_rounds rather than a fixed epoch): when a batch's
+        # chain resolution needed more than this many pointer-doubling
+        # rounds, fold the chains flat right after the batch commits.
+        # Each round is a driver-blocking checkpoint + count, so letting
+        # depth drift costs every subsequent batch AND the final read;
+        # compaction is idempotent/crash-safe and content-preserving.
+        # None disables (callers that schedule their own epochs).
+        self.auto_compact_rounds = auto_compact_rounds
         self.assign_dir = os.path.join(work_dir, "assign")
         self.alias_dir = os.path.join(work_dir, "alias")
         self.applied_dir = os.path.join(work_dir, "_applied")
@@ -318,6 +334,16 @@ class EntityState:
         self._overwrite(alias_new, self.alias_dir, bid)
         write_marker(self.applied_dir, f"batch_{bid}")
         advance_watermark(self.work_dir, bid)
+        # measured-signal alias maintenance: this batch's resolve needed
+        # > auto_compact_rounds doubling rounds, so chains have drifted
+        # deep enough to tax every later resolve — flatten now (safe
+        # here: foreachBatch is synchronous and this batch is committed;
+        # the marker keys idempotency on the effective batch id)
+        if (
+            self.auto_compact_rounds is not None
+            and self.last_resolve_rounds > self.auto_compact_rounds
+        ):
+            self.compact_aliases(f"auto_{bid}")
 
     # -- read API -------------------------------------------------------------
 

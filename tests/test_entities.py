@@ -341,7 +341,12 @@ def test_compaction_cadence_bounds_rounds(spark, tmp_path):
     compacting every <= 3 merge-heavy batches keeps updates at <= 2
     rounds. The measured rounds are exposed as ``last_resolve_rounds``
     for signal-driven cadence."""
-    st = EntityState(spark, str(tmp_path / "cadence"), buckets=4)
+    # auto_compact_rounds=None: this test measures the UNCOMPACTED
+    # adversarial depth growth (the signal the auto trigger consumes);
+    # the auto default is covered by test_auto_compaction_bounds_rounds
+    st = EntityState(
+        spark, str(tmp_path / "cadence"), buckets=4, auto_compact_rounds=None
+    )
 
     def upd(bid, node, pair):
         st.update(
@@ -392,3 +397,42 @@ def test_compaction_cadence_bounds_rounds(spark, tmp_path):
         prev = nid
         expected = 2 if j < 3 else 3  # depth j+2 after batch j
         assert st.last_resolve_rounds <= expected, (j, st.last_resolve_rounds)
+
+
+def test_auto_compaction_bounds_rounds(spark, tmp_path):
+    """Default EntityState auto-compacts aliases when a batch's resolve
+    exceeded auto_compact_rounds doubling rounds — so even the
+    adversarial re-rooting order keeps every update's resolve bounded,
+    with no manual compact_aliases calls, and assignments stay exact."""
+    st = EntityState(spark, str(tmp_path / "auto"), buckets=4)
+    assert st.auto_compact_rounds == 2
+
+    cand = [f"n{i:03d}" for i in range(40)]
+    uid_of = {
+        r.node: r.uid
+        for r in spark.createDataFrame([(c,) for c in cand], "node string")
+        .select("node", F.xxhash64("node").alias("uid"))
+        .collect()
+    }
+    ids = sorted(cand, key=lambda n: -uid_of[n])[:30]
+    pairs = []
+    st.update(
+        spark.createDataFrame([(ids[0],)], "node string"),
+        spark.createDataFrame([], "l_id string, r_id string"),
+        0,
+    )
+    rounds_log = []
+    for i in range(1, 30):
+        st.update(
+            spark.createDataFrame([(ids[i],)], "node string"),
+            spark.createDataFrame([(ids[i], ids[i - 1])], "l_id string, r_id string"),
+            i,
+        )
+        pairs.append((ids[i], ids[i - 1]))
+        rounds_log.append(st.last_resolve_rounds)
+
+    # a batch may momentarily NEED 3 rounds (that's the trigger), but
+    # compaction fires right after, so depth never compounds: no batch
+    # ever exceeds trigger+1 and the tail stays at the flattened bound
+    assert max(rounds_log) <= st.auto_compact_rounds + 1, rounds_log
+    assert _got(st) == _batch_truth(spark, set(ids[:30]), pairs)
