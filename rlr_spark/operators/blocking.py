@@ -615,6 +615,20 @@ def block_pairs(
     # self-join — the sorts were pure CPU on an exchange this stage pays
     # anyway, and at 4 executors they sat inside the measured
     # bandwidth-bound window (BENCH/shuffle_probe.py attribution).
+    #
+    # EXPLICIT repartition on the join keys: this join's input is a few
+    # MB of (key, salt) rows but its output is quadratic per block, and
+    # AQE (which sizes post-shuffle partitions from INPUT bytes, 1 MB
+    # minimum each) coalesced the join stage to 1-6 tasks — 62 s of
+    # join CPU serialized at 32 cores. A user-numbered repartition is
+    # not AQE-coalescible and satisfies the join's distribution
+    # requirement on both sides, so the stage runs at the session's
+    # parallelism. Scale-adaptive: defaultParallelism is the cluster's
+    # core budget, and at production input sizes the exchange would get
+    # that many partitions from AQE anyway.
+    join_par = keyed.sparkSession.sparkContext.defaultParallelism
+    left = left.repartition(join_par, key_col, "_salt")
+    right = right.repartition(join_par, key_col, "_salt")
     pairs = left.hint("shuffle_hash").join(right, [key_col, "_salt"]).where(
         F.col("l_id") < F.col("r_id")
     )
@@ -828,6 +842,11 @@ def block_pairs_lr(
         ).alias("_salt"),
         *[F.col(c).alias("r_" + c) for c in ccr],
     )
+    # explicit join-key repartition — same AQE explode-join blind spot
+    # as block_pairs (see the comment there)
+    join_par = keyed_l.sparkSession.sparkContext.defaultParallelism
+    l_salted = l_salted.repartition(join_par, key_col, "_salt")
+    r_salted = r_salted.repartition(join_par, key_col, "_salt")
     pairs = l_salted.join(r_salted, [key_col, "_salt"])
     if pair_filter is not None:
         pairs = pairs.where(pair_filter)

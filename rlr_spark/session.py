@@ -58,19 +58,18 @@ def get_spark(
         .config("spark.default.parallelism", str(max(cores * 3, 4)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE sizes post-shuffle partitions from the shuffle's INPUT
-        # bytes, but candidate-pair self-joins have quadratic OUTPUT:
-        # a few MB of (key, salt) rows explode into tens of millions of
-        # pairs, and the default 1 MB minPartitionSize coalesced those
-        # join stages to 1-6 tasks (measured: 62 s of join CPU on 6
-        # tasks at 32 cores for the minhash pair join). A 64 KB floor
-        # keeps parallelismFirst's target (defaultParallelism) in
-        # charge. Scale note: this floor only binds when a shuffle's
-        # input is small; at production scale those exchanges carry
-        # GB+ and AQE sizing is unchanged — the explode-join shape this
-        # protects (small block-key input, quadratic pair output) is
-        # scale-independent.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # NOTE on AQE and explode-joins: AQE sizes post-shuffle
+        # partitions from the shuffle's INPUT bytes, but candidate-pair
+        # joins have quadratic OUTPUT — a few MB of (key, salt) rows
+        # explode into tens of millions of pairs, and the default 1 MB
+        # minPartitionSize coalesced those join stages to 1-6 tasks
+        # (measured: 62 s of join CPU on 6 tasks at 32 cores). Rather
+        # than lower the floor session-wide (a 64 KB floor fixed the
+        # pair joins but cost every small latency-bound query ~0.5-1 s
+        # in tiny-task overhead — measured, interleaved A/B), the pair
+        # generators repartition their join inputs explicitly by
+        # (key, salt) to defaultParallelism (blocking.py), which AQE
+        # does not coalesce. Everything else keeps default AQE sizing.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Sort-based shuffle writer for everything but the tiniest
         # shuffles: the bypass writer opens ONE FILE PER REDUCE

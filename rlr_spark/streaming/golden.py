@@ -36,8 +36,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rlr_spark.streaming.state import (
+    advance_watermark,
+    guard_renumbered_stream,
     marker_exists,
     overwrite_batch_partition,
+    resolve_effective_batch,
     write_marker,
 )
 
@@ -162,9 +165,21 @@ class GoldenState:
         batch's alias rows, so the states of merged entities fold into
         the survivor. Idempotent per batch_id.
         """
-        bid = int(batch_id)
+        if int(batch_id) < 0:
+            raise ValueError("batch_id must be >= 0 (negative ids are reserved)")
+        # same effective-id discipline as EntityState (ADVICE r6): raw
+        # ids are only unique per CHECKPOINT, so a wiped/relocated
+        # checkpoint restarting at 0 must not dynamic-overwrite old
+        # batch-0 golden partitions — the generation token + watermark
+        # offset new-generation ids past everything ever applied, and
+        # the guard refuses out-of-band renumbering.
+        bid = resolve_effective_batch(self.work_dir, self.applied_dir, batch_id)
         if marker_exists(self.applied_dir, f"golden_{bid}"):
+            advance_watermark(self.work_dir, bid)
             return
+        guard_renumbered_stream(
+            self.work_dir, self.applied_dir, bid, marker_prefix="golden"
+        )
         cols = self._state_cols()
         m = (
             members.withColumnRenamed(entity_col, "entity")
@@ -234,6 +249,7 @@ class GoldenState:
         out = out.withColumn("_gb", self._bucket(F.col("entity")))
         overwrite_batch_partition(out, self.golden_dir, bid, bucket_cols=("_gb",))
         write_marker(self.applied_dir, f"golden_{bid}")
+        advance_watermark(self.work_dir, bid)
 
     # -- read path --------------------------------------------------------------
 

@@ -177,7 +177,9 @@ def advance_watermark(state_dir: str, batch_id: int) -> None:
     os.replace(p + ".tmp", p)
 
 
-def guard_renumbered_stream(state_dir: str, applied_dir: str, batch_id: int) -> None:
+def guard_renumbered_stream(
+    state_dir: str, applied_dir: str, batch_id: int, marker_prefix: str = "batch"
+) -> None:
     """Backstop: refuse an EFFECTIVE batch id at/below the state
     watermark whose applied marker is missing.
 
@@ -195,7 +197,7 @@ def guard_renumbered_stream(state_dir: str, applied_dir: str, batch_id: int) -> 
     """
     bid = int(batch_id)
     wm = applied_watermark(state_dir)
-    if bid <= wm and not marker_exists(applied_dir, f"batch_{bid}"):
+    if bid <= wm and not marker_exists(applied_dir, f"{marker_prefix}_{bid}"):
         raise ValueError(
             f"effective batch_id {bid} is at/below the applied watermark "
             f"{wm} of state dir {state_dir} but has no applied marker in "
