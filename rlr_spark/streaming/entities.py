@@ -73,7 +73,7 @@ class EntityState:
         spark: SparkSession,
         work_dir: str,
         buckets: int = 64,
-        auto_compact_rounds: int | None = 2,
+        auto_compact_rounds: int | None = 1,
     ):
         self.spark = spark
         self.work_dir = work_dir
@@ -83,6 +83,12 @@ class EntityState:
         # last_resolve_rounds rather than a fixed epoch): when a batch's
         # chain resolution needed more than this many pointer-doubling
         # rounds, fold the chains flat right after the batch commits.
+        # The default (1) compacts as soon as any chain reaches depth
+        # >= 3: r rounds cover depth 2^r, so update-time resolves stay
+        # <= 2 rounds and a post-batch read never exceeds 2 either
+        # (depth at most trigger-depth + 1). The alias table is
+        # merges-sized, so the fold is cheap next to the 2 driver-
+        # blocking jobs every extra resolve round costs each batch.
         # Each round is a driver-blocking checkpoint + count, so letting
         # depth drift costs every subsequent batch AND the final read;
         # compaction is idempotent/crash-safe and content-preserving.

@@ -405,7 +405,7 @@ def test_auto_compaction_bounds_rounds(spark, tmp_path):
     adversarial re-rooting order keeps every update's resolve bounded,
     with no manual compact_aliases calls, and assignments stay exact."""
     st = EntityState(spark, str(tmp_path / "auto"), buckets=4)
-    assert st.auto_compact_rounds == 2
+    assert st.auto_compact_rounds == 1
 
     cand = [f"n{i:03d}" for i in range(40)]
     uid_of = {
