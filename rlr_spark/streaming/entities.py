@@ -261,9 +261,13 @@ class EntityState:
         guard_renumbered_stream(self.work_dir, self.applied_dir, bid)
         B = self.buckets
 
+        # lazy checkpoints: each still materializes exactly once (at
+        # its first consuming job) and truncates lineage, but skips the
+        # synchronous stand-alone job an eager checkpoint runs — three
+        # fewer driver round-trips per micro-batch on tiny relations
         edges = pairs.select(
             F.col(l_col).alias("l"), F.col(r_col).alias("r")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         touched = (
             nodes.select(F.col(id_col).alias("node"))
             .unionByName(edges.select(F.col("l").alias("node")))
@@ -297,7 +301,7 @@ class EntityState:
                 "node",
                 F.coalesce(F.col("root"), F.col("entity")).alias("entity"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
         # CC over the touched subgraph: batch edges + one (uid, entity)
@@ -313,7 +317,7 @@ class EntityState:
                 )
             )
         )
-        comp = connected_components(num_edges).localCheckpoint(eager=True)
+        comp = connected_components(num_edges).localCheckpoint(eager=False)
 
         # new nodes: assignment = component of their uid, else own uid
         new_nodes = touched.join(prior_res.select("node"), "node", "left_anti")

@@ -456,7 +456,6 @@ def incremental_neardup_stream(
             # after its marker, the replayed update is a no-op while the
             # near-dup writes complete
             verified = verified.localCheckpoint(eager=True)
-            verified.count()  # materialize the checkpoint inside the timer
             _mark("verify")
             entity_state.update(
                 batch.select(F.col("url").alias("node")), verified, batch_id
